@@ -1,0 +1,179 @@
+"""Headline benchmark: ELBO training steps/sec, 2-layer DGP, N=10k, M=128.
+
+Matches the driver metric in BASELINE.json. Runs the jitted Adam ELBO step of
+dgp_tpu on the available accelerator (float32 on TPU) and compares against a
+reference-equivalent eager float64 CPU implementation (torch autograd standing
+in for the GPflow/TF2 reference stack, which is not installed in this image).
+The CPU baseline is measured once and cached in .bench_baseline.json.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+N, M, DIN, HIDDEN, S = 10_000, 128, 8, 8, 10
+WARMUP, STEPS = 3, 30
+BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
+
+
+def _data():
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0, 1, size=(N, DIN))
+    Y = np.sin(3 * X[:, :1]) + 0.5 * np.cos(5 * X[:, 1:2]) + 0.05 * rng.normal(size=(N, 1))
+    Z = X[rng.choice(N, M, replace=False)].copy()
+    return X, Y, Z
+
+
+def bench_dgp_tpu():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dgp_tpu.models import training
+    from dgp_tpu.models.dgp import DGP, elbo
+    from dgp_tpu.ops import kernels as K
+
+    X, Y, Z = _data()
+    kernels = [
+        K.RBF.create(variance=1.0, lengthscales=[1.0] * DIN),
+        K.RBF.create(variance=1.0, lengthscales=[1.0] * HIDDEN),
+    ]
+    # whitened q(u): the numerically-bounded parametrization (no Kuu^{-1}
+    # amplification), required for stable f32 training on TPU
+    model = DGP(X, Y, Z, kernels, [HIDDEN], num_samples=S, white=True)
+    Xj, Yj = model.data
+    mask = training.make_mask(model.params)
+    opt = training.masked_adam(mask, lr=0.01)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        key, sub = jax.random.split(key)
+        loss, grads = jax.value_and_grad(lambda p: -elbo(p, Xj, Yj, sub, S))(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, key, loss
+
+    params, opt_state, key = model.params, opt.init(model.params), jax.random.PRNGKey(0)
+    for _ in range(WARMUP):
+        params, opt_state, key, loss = step(params, opt_state, key)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        params, opt_state, key, loss = step(params, opt_state, key)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    assert bool(np.isfinite(float(loss))), "benchmark loss went non-finite"
+    return STEPS / dt
+
+
+def bench_torch_cpu_reference():
+    """Eager float64 CPU ELBO step equivalent to the reference's per-iteration
+    graph (L Choleskys + 2L triangular solves + reparameterized sampling +
+    KL; /root/reference/dgp_dace/models/dgp.py:146-152)."""
+    import torch
+
+    torch.set_default_dtype(torch.float64)
+    torch.manual_seed(0)
+    X_np, Y_np, Z_np = _data()
+    X, Y = torch.tensor(X_np), torch.tensor(Y_np)
+
+    dims_in = [DIN, HIDDEN]
+    dims_out = [HIDDEN, 1]
+    Zs0 = [torch.tensor(Z_np), torch.tensor(Z_np[:, :HIDDEN]).clone()]
+    params = []
+    layers = []
+    for din, dout, Z0 in zip(dims_in, dims_out, Zs0):
+        log_ls = torch.zeros(din, requires_grad=True)
+        log_var = torch.zeros((), requires_grad=True)
+        Zp = Z0.clone().requires_grad_(True)
+        q_mu = torch.zeros(M, dout, requires_grad=True)
+        q_sqrt = torch.eye(M).repeat(dout, 1, 1).requires_grad_(True)
+        layers.append((log_ls, log_var, Zp, q_mu, q_sqrt))
+        params += [log_ls, log_var, Zp, q_mu, q_sqrt]
+    log_noise = torch.zeros((), requires_grad=True)
+    params.append(log_noise)
+    opt = torch.optim.Adam(params, lr=0.01)
+
+    def rbf(A, B, log_ls, log_var):
+        As, Bs = A / log_ls.exp(), B / log_ls.exp()
+        d = (As * As).sum(1)[:, None] + (Bs * Bs).sum(1)[None] - 2 * As @ Bs.T
+        return log_var.exp() * torch.exp(-0.5 * d.clamp_min(0))
+
+    def step():
+        opt.zero_grad()
+        F = X.expand(S, N, DIN)
+        kl_total = 0.0
+        for (log_ls, log_var, Zp, q_mu, q_sqrt) in layers:
+            dout = q_mu.shape[1]
+            Kuu = rbf(Zp, Zp, log_ls, log_var) + 1e-6 * torch.eye(M)
+            Lu = torch.linalg.cholesky(Kuu)
+            Xf = F.reshape(S * N, -1)
+            Kuf = rbf(Zp, Xf, log_ls, log_var)
+            A = torch.linalg.solve_triangular(Lu, Kuf, upper=False)
+            A = torch.linalg.solve_triangular(Lu.T, A, upper=True)
+            mean = A.T @ q_mu
+            L_q = torch.tril(q_sqrt)
+            SK = L_q @ L_q.transpose(-1, -2) - Kuu[None]
+            B = SK @ A[None]
+            var = (log_var.exp() + (A[None] * B).sum(1)).T
+            mean = mean.reshape(S, N, dout)
+            var = var.reshape(S, N, dout)
+            F = mean + torch.randn_like(mean) * (var + 1e-6).clamp_min(0).sqrt()
+            # KL
+            diag_q = torch.diagonal(L_q, dim1=-2, dim2=-1)
+            kl = -0.5 * dout * M - 0.5 * (diag_q**2).log().sum()
+            kl += dout * torch.log(torch.diagonal(Lu)).sum()
+            kl += 0.5 * (torch.linalg.solve_triangular(
+                Lu[None].expand(dout, M, M), L_q, upper=False) ** 2).sum()
+            kl += 0.5 * (q_mu * torch.cholesky_solve(q_mu, Lu)).sum()
+            kl_total = kl_total + kl
+        noise = log_noise.exp()
+        ve = (-0.918938533 - 0.5 * noise.log()
+              - 0.5 * ((Y[None] - mean) ** 2 + var) / noise)
+        loss = -(ve.mean(0).sum() - kl_total)
+        loss.backward()
+        opt.step()
+        return float(loss)
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    n = 3
+    for _ in range(n):
+        step()
+    return n / (time.perf_counter() - t0)
+
+
+def get_baseline():
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["steps_per_sec"]
+    try:
+        sps = bench_torch_cpu_reference()
+    except Exception:
+        sps = None
+    if sps is not None:
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump({"steps_per_sec": sps, "config": "2-layer DGP N=10k M=128 S=10, eager f64 torch-cpu"}, f)
+    return sps
+
+
+def main():
+    value = bench_dgp_tpu()
+    baseline = get_baseline()
+    vs = value / baseline if baseline else None
+    print(json.dumps({
+        "metric": "ELBO steps/sec (2-layer DGP, N=10k, M=128, S=10)",
+        "value": round(value, 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Global numeric configuration for dgp_tpu.
+
+The reference library (dgp-toolbox) runs everything in float64 through
+``gpflow.default_float()`` (e.g. /root/reference/dgp_dace/models/MF_DGP.py:29).
+On TPU, float64 is software-emulated and slow, so dgp_tpu makes the working
+precision a first-class switch:
+
+* ``default_float()`` — dtype used for all parameters/constants. Defaults to
+  float64 *iff* JAX x64 mode is enabled (the CPU-parity configuration used by
+  the test-suite), otherwise float32 (the fast TPU configuration).
+* ``default_jitter()`` — diagonal jitter added before every Cholesky,
+  precision-aware (1e-6 in f64 like gpflow's default, 1e-4 in f32 where a
+  smaller jitter would vanish below the unit roundoff of typical kernels).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_STATE = {
+    "float": None,       # None => infer from x64 mode
+    "jitter": None,      # None => infer from default_float
+    "use_pallas": "auto",  # "auto" | True | False
+}
+
+
+def set_default_float(dtype) -> None:
+    """Set the working dtype. Enables JAX x64 mode when float64 is requested."""
+    dtype = jnp.dtype(dtype)
+    if dtype == jnp.dtype("float64"):
+        jax.config.update("jax_enable_x64", True)
+    _STATE["float"] = dtype
+
+
+def default_float():
+    if _STATE["float"] is not None:
+        return _STATE["float"]
+    return jnp.dtype("float64") if jax.config.jax_enable_x64 else jnp.dtype("float32")
+
+
+def set_default_jitter(value: float) -> None:
+    _STATE["jitter"] = float(value)
+
+
+def default_jitter() -> float:
+    if _STATE["jitter"] is not None:
+        return _STATE["jitter"]
+    return 1e-6 if default_float() == jnp.dtype("float64") else 1e-4
+
+
+def set_use_pallas(value) -> None:
+    """True/False to force, or "auto" to enable on TPU only."""
+    _STATE["use_pallas"] = value
+
+
+def use_pallas() -> bool:
+    v = _STATE["use_pallas"]
+    if v == "auto":
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover - backend probing never fails in CI
+            return False
+    return bool(v)

@@ -1,0 +1,246 @@
+"""Doubly-stochastic Deep GP (Salimbeni & Deisenroth 2017).
+
+TPU-native counterpart of ``DGP_Base``/``DGP``
+(/root/reference/dgp_dace/models/dgp.py:21-366). The model is a pure pytree
+(``DGPParams``) plus pure functions (``propagate``/``elbo``/``predict_*``);
+the ``DGP`` class is a thin stateful wrapper exposing the reference's training
+API (``optimize_adam``, ``optimize_nat_adam``) on top of the jitted engines in
+``training.py``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..config import default_float
+from ..layers.initializations import init_layers_linear
+from ..layers.svgp import SVGPLayer, layer_kl, sample_from_conditional
+from ..ops.likelihoods import Gaussian
+from . import training
+
+
+class DGPParams(struct.PyTreeNode):
+    layers: Tuple[SVGPLayer, ...]
+    likelihood: Gaussian
+
+
+# -- pure functions ------------------------------------------------------------
+
+
+def propagate(params: DGPParams, X, key, S: int, full_cov=False, zs=None):
+    """Chain layer-wise reparameterized samples (dgp.py:34-63).
+
+    :return: (Fs, Fmeans, Fvars) tuples of per-layer [S, N, D] arrays.
+    """
+    sX = jnp.tile(X[None], (S, 1, 1))
+    F = sX
+    Fs, Fmeans, Fvars = [], [], []
+    zs = zs if zs is not None else [None] * len(params.layers)
+    for layer, z in zip(params.layers, zs):
+        key, sub = jax.random.split(key)
+        F, Fmean, Fvar = sample_from_conditional(
+            layer, layer.z, F, sub, full_cov=full_cov, z=z
+        )
+        Fs.append(F)
+        Fmeans.append(Fmean)
+        Fvars.append(Fvar)
+    return tuple(Fs), tuple(Fmeans), tuple(Fvars)
+
+
+def predict_f(params: DGPParams, X, key, S: int, full_cov=False):
+    _, Fmeans, Fvars = propagate(params, X, key, S, full_cov=full_cov)
+    return Fmeans[-1], Fvars[-1]
+
+
+def elbo(params: DGPParams, X, Y, key, num_samples: int, num_data: Optional[int] = None):
+    """Monte-Carlo ELBO (dgp.py:79-100): scale * sum_n E_q[log p(y|f)] - sum KL."""
+    Fmean, Fvar = predict_f(params, X, key, num_samples)
+    var_exp = params.likelihood.variational_expectations(Fmean, Fvar, Y)  # [S,N,D]
+    L = jnp.sum(jnp.mean(var_exp, axis=0))
+    kl = sum(layer_kl(layer, layer.z) for layer in params.layers)
+    n = X.shape[0]
+    scale = (num_data or n) / n
+    return L * scale - kl
+
+
+def predict_y(params: DGPParams, X, key, S: int):
+    Fmean, Fvar = predict_f(params, X, key, S)
+    return params.likelihood.predict_mean_and_var(Fmean, Fvar)
+
+
+def predict_density(params: DGPParams, X, Y, key, S: int):
+    Fmean, Fvar = predict_f(params, X, key, S)
+    log_p = params.likelihood.predict_density(Fmean, Fvar, Y)  # [S, N, D]
+    return jax.scipy.special.logsumexp(
+        log_p - jnp.log(jnp.asarray(S, dtype=log_p.dtype)), axis=0
+    )
+
+
+def moment_matched(y_means, y_vars):
+    """Collapse the S-sample mixture to a single Gaussian per point
+    (dgp.py:362-366): mean = E[m], var = E[v + m^2] - E[m]^2."""
+    mean = jnp.mean(y_means, axis=0)
+    var = jnp.mean(y_vars + y_means**2, axis=0) - mean**2
+    return mean, var
+
+
+def shrink_inner_q_sqrt(params: DGPParams, factor=1e-3) -> DGPParams:
+    """Scale inner-layer q_sqrt for optimization stability (dgp.py:268-269)."""
+    new_layers = [
+        layer.replace(q_sqrt=layer.q_sqrt * factor) for layer in params.layers[:-1]
+    ]
+    new_layers.append(params.layers[-1])
+    return params.replace(layers=tuple(new_layers))
+
+
+# -- variational-parameter plumbing for natural gradients ----------------------
+
+
+def get_qs(params: DGPParams, indices):
+    return [(params.layers[i].q_mu, params.layers[i].q_sqrt) for i in indices]
+
+
+def set_qs(params: DGPParams, indices, qs) -> DGPParams:
+    layers = list(params.layers)
+    for i, (q_mu, q_sqrt) in zip(indices, qs):
+        layers[i] = layers[i].replace(q_mu=q_mu, q_sqrt=q_sqrt)
+    return params.replace(layers=tuple(layers))
+
+
+# -- stateful wrapper -----------------------------------------------------------
+
+
+class DGP:
+    """Reference-parity wrapper (models/dgp.py:221-366).
+
+    :param kernels: list of ``dgp_tpu.ops.kernels.Kernel`` (len(num_units)+1).
+    :param num_units: hidden widths, e.g. [1, 1] for the notebook's [1,1,1] arch.
+    """
+
+    name = "dgp"
+
+    def __init__(
+        self,
+        X,
+        Y,
+        Z,
+        kernels,
+        num_units,
+        likelihood: Optional[Gaussian] = None,
+        num_outputs=None,
+        mean_function=None,
+        white=False,
+        num_samples=1,
+        seed=0,
+    ):
+        dtype = default_float()
+        layers = init_layers_linear(
+            X, Y, Z, kernels, num_units,
+            num_outputs=num_outputs, mean_function=mean_function, white=white,
+        )
+        likelihood = likelihood or Gaussian.create(1.0, dtype=dtype)
+        self.params = DGPParams(layers=tuple(layers), likelihood=likelihood)
+        self.num_samples = num_samples
+        self.data = (
+            jnp.asarray(np.asarray(X), dtype=dtype),
+            jnp.asarray(np.asarray(Y), dtype=dtype),
+        )
+        self._key = jax.random.PRNGKey(seed)
+
+    # -- utilities -------------------------------------------------------------
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _loss_fn(self):
+        X, Y = self.data
+        S = self.num_samples
+
+        def loss(params, key):
+            return -elbo(params, X, Y, key, S)
+
+        return loss
+
+    # -- reference API ----------------------------------------------------------
+    def ELBO(self):
+        X, Y = self.data
+        return elbo(self.params, X, Y, self._next_key(), self.num_samples)
+
+    def propagate(self, X, full_cov=False, S=1, zs=None):
+        X = jnp.asarray(X, dtype=default_float())
+        return propagate(self.params, X, self._next_key(), S, full_cov, zs)
+
+    def predict_f(self, X, full_cov=False, S=1):
+        X = jnp.asarray(X, dtype=default_float())
+        return predict_f(self.params, X, self._next_key(), S, full_cov)
+
+    def predict_y(self, Xnew, num_samples):
+        Xnew = jnp.asarray(Xnew, dtype=default_float())
+        return predict_y(self.params, Xnew, self._next_key(), num_samples)
+
+    def predict_density(self, Xnew, Ynew, num_samples):
+        Xnew = jnp.asarray(Xnew, dtype=default_float())
+        Ynew = jnp.asarray(Ynew, dtype=default_float())
+        return predict_density(self.params, Xnew, Ynew, self._next_key(), num_samples)
+
+    def predict(self, Xnew, num_samples):
+        y_m, y_v = self.predict_y(Xnew, num_samples)
+        mean, var = moment_matched(y_m, y_v)
+        return np.asarray(mean), np.asarray(var)
+
+    def number_parameters(self, trainable=True):
+        mask = training.make_mask(self.params)
+        leaves_p = jax.tree_util.tree_leaves(self.params)
+        leaves_m = jax.tree_util.tree_leaves(mask)
+        total = 0
+        for leaf, m in zip(leaves_p, leaves_m):
+            if m or not trainable:
+                total += int(np.prod(np.shape(leaf)))
+        return total
+
+    def optimize_adam(
+        self, iterations=5000, lr=0.01, beta_1=0.9, beta_2=0.999,
+        epsilon=1e-7, messages=100,
+    ):
+        """Plain Adam on everything, inner q_sqrt shrunk 1e-3 (dgp.py:255-278)."""
+        self.params = shrink_inner_q_sqrt(self.params)
+        mask = training.make_mask(self.params)
+        self.params, losses = training.adam_run(
+            self._loss_fn(), self.params, mask, self._next_key(),
+            steps=iterations, lr=lr, b1=beta_1, b2=beta_2, eps=epsilon,
+            messages=messages,
+        )
+        return losses
+
+    def optimize_nat_adam(
+        self, iterations1=100, iterations2=5000, lr_adam=0.01, lr_gamma=0.01,
+        beta_1=0.9, beta_2=0.999, epsilon=1e-7, ng_all=True, messages=100,
+    ):
+        """Two-phase Adam -> Adam+NatGrad training (dgp.py:280-345)."""
+        self.params = shrink_inner_q_sqrt(self.params)
+        n_layers = len(self.params.layers)
+        sel = list(range(n_layers)) if ng_all else [n_layers - 1]
+        frozen = {i: {"q_mu", "q_sqrt"} for i in sel}
+        euclid_mask = training.make_mask(self.params, frozen_layer_fields=frozen)
+        loss_fn = self._loss_fn()
+
+        self.params, losses1 = training.adam_run(
+            loss_fn, self.params, euclid_mask, self._next_key(),
+            steps=iterations1, lr=lr_adam, b1=beta_1, b2=beta_2, eps=epsilon,
+            messages=messages,
+        )
+        self.params, losses2 = training.nat_adam_run(
+            loss_fn, self.params, euclid_mask,
+            get_qs=lambda p: get_qs(p, sel),
+            set_qs=lambda p, qs: set_qs(p, sel, qs),
+            key=self._next_key(),
+            steps=iterations2, lr_adam=lr_adam, gamma=lr_gamma,
+            b1=beta_1, b2=beta_2, eps=epsilon, messages=messages,
+        )
+        return jnp.concatenate([losses1, losses2]) if iterations1 else losses2

@@ -1,0 +1,218 @@
+"""Jitted training engines: masked Adam and Adam+NaturalGradient loops.
+
+These replace the eager Python loops of the reference
+(/root/reference/dgp_dace/models/dgp.py:132-220 and the three-phase variants
+in MF_DGP/MF_DGP_EM/MO_DGP). Phase freezing — the reference's
+``set_trainable(...)`` choreography — is expressed as boolean mask pytrees fed
+to ``optax.masked``; each phase runs as one ``lax.scan`` under ``jit`` so a
+whole training phase is a single XLA computation with no host round-trips
+(progress is reported via ``jax.debug.print``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..variational.natgrad import natgrad_step_multi
+
+
+# -- trainability masks -------------------------------------------------------
+
+def _path_names(path):
+    names = []
+    for p in path:
+        if isinstance(p, jax.tree_util.GetAttrKey):
+            names.append(p.name)
+        elif isinstance(p, jax.tree_util.DictKey):
+            names.append(str(p.key))
+    return names
+
+
+def _path_layer_index(path):
+    """Index into a ``layers``/``layers_red`` tuple if the path crosses one."""
+    for i, p in enumerate(path[:-1]):
+        if isinstance(p, jax.tree_util.GetAttrKey) and p.name in (
+            "layers",
+            "layers_red",
+        ):
+            nxt = path[i + 1]
+            if isinstance(nxt, jax.tree_util.SequenceKey):
+                return p.name, nxt.idx
+    return None, None
+
+
+def mask_from_predicate(params, predicate: Callable) -> object:
+    """Boolean mask pytree: predicate(field_names, (group, layer_idx)) -> bool.
+
+    ``field_names`` is the list of attribute names along the leaf's path;
+    ``group``/``layer_idx`` identify which layer tuple (if any) it sits in.
+    """
+
+    def fn(path, leaf):
+        return bool(predicate(_path_names(path), _path_layer_index(path)))
+
+    return jax.tree_util.tree_map_with_path(fn, params)
+
+
+def default_frozen_fields() -> set:
+    """Fields that are never trained (mirrors the reference always freezing
+    mean-function weights, layer_initializations.py:55)."""
+    return {"mean_function"}
+
+
+def make_mask(params, frozen_fields: Sequence[str] = (), frozen_layer_fields=None):
+    """Convenience mask builder.
+
+    :param frozen_fields: leaf is frozen if any path name is in this set.
+    :param frozen_layer_fields: optional dict {(group, layer_idx): set(fields)}
+        or {layer_idx: set(fields)} applying within a specific layer; use the
+        key "all" for every layer of a group.
+    """
+    frozen = set(frozen_fields) | default_frozen_fields()
+    frozen_layer_fields = frozen_layer_fields or {}
+
+    def predicate(names, group_idx):
+        if any(n in frozen for n in names):
+            return False
+        group, idx = group_idx
+        if idx is not None:
+            for key, fields in frozen_layer_fields.items():
+                if key == idx or key == (group, idx) or key == "all" or key == (group, "all"):
+                    if any(n in fields for n in names):
+                        return False
+        return True
+
+    return mask_from_predicate(params, predicate)
+
+
+# -- optimizers ---------------------------------------------------------------
+
+def masked_adam(mask, lr, b1=0.9, b2=0.999, eps=1e-7):
+    """Adam on mask-True leaves, zero update elsewhere.
+
+    NOTE: ``optax.masked`` alone passes mask-False leaves' updates through
+    *unchanged* (i.e. raw gradients would be added to frozen params), so the
+    frozen side must be explicitly routed to ``set_to_zero``.
+    """
+    labels = jax.tree_util.tree_map(
+        lambda t: "train" if t else "freeze", mask
+    )
+    return optax.multi_transform(
+        {"train": optax.adam(lr, b1=b1, b2=b2, eps=eps),
+         "freeze": optax.set_to_zero()},
+        labels,
+    )
+
+
+def adam_run(
+    loss_fn,
+    params,
+    mask,
+    key,
+    steps: int,
+    lr=0.01,
+    b1=0.9,
+    b2=0.999,
+    eps=1e-7,
+    messages: int = 0,
+    label: str = "ELBO",
+):
+    """Run ``steps`` Adam iterations of ``loss_fn(params, key) -> scalar``.
+
+    Returns (params, losses [steps]). One jitted lax.scan — the TPU-native
+    equivalent of the eager loop at dgp.py:147-154.
+    """
+    if steps <= 0:
+        return params, jnp.zeros((0,))
+    opt = masked_adam(mask, lr, b1, b2, eps)
+
+    @jax.jit
+    def run(params, key):
+        opt_state = opt.init(params)
+
+        def step(carry, i):
+            params, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            loss, grads = jax.value_and_grad(loss_fn)(params, sub)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if messages:
+                jax.lax.cond(
+                    i % messages == 0,
+                    lambda: jax.debug.print(label + ": {v}", v=-loss),
+                    lambda: None,
+                )
+            return (params, opt_state, key), loss
+
+        (params, _, _), losses = jax.lax.scan(
+            step, (params, opt_state, key), jnp.arange(steps)
+        )
+        return params, losses
+
+    return run(params, key)
+
+
+def nat_adam_run(
+    loss_fn,
+    params,
+    euclid_mask,
+    get_qs,
+    set_qs,
+    key,
+    steps: int,
+    lr_adam=0.01,
+    gamma=0.01,
+    b1=0.9,
+    b2=0.999,
+    eps=1e-7,
+    messages: int = 0,
+    label: str = "ELBO",
+):
+    """Interleaved Adam + NaturalGradient phase (dgp.py:209-220).
+
+    Per iteration: (1) masked-Adam step on the Euclidean parameters from one
+    ELBO evaluation; (2) joint natural-gradient step on the variational pairs
+    selected by ``get_qs`` from a second, fresh-MC evaluation — matching the
+    reference's two evaluations per iteration.
+
+    :param get_qs: params -> list of (q_mu, q_sqrt) receiving natural grads.
+    :param set_qs: (params, list) -> params.
+    """
+    if steps <= 0:
+        return params, jnp.zeros((0,))
+    opt = masked_adam(euclid_mask, lr_adam, b1, b2, eps)
+
+    @jax.jit
+    def run(params, key):
+        opt_state = opt.init(params)
+
+        def step(carry, i):
+            params, opt_state, key = carry
+            key, k_adam, k_nat = jax.random.split(key, 3)
+            loss, grads = jax.value_and_grad(loss_fn)(params, k_adam)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+
+            def nat_loss(qs):
+                return loss_fn(set_qs(params, qs), k_nat)
+
+            new_qs = natgrad_step_multi(get_qs(params), nat_loss, gamma)
+            params = set_qs(params, new_qs)
+            if messages:
+                jax.lax.cond(
+                    i % messages == 0,
+                    lambda: jax.debug.print(label + ": {v}", v=-loss),
+                    lambda: None,
+                )
+            return (params, opt_state, key), loss
+
+        (params, _, _), losses = jax.lax.scan(
+            step, (params, opt_state, key), jnp.arange(steps)
+        )
+        return params, losses
+
+    return run(params, key)

@@ -1,0 +1,110 @@
+"""Sparse-variational GP conditionals and the reparameterization trick.
+
+TPU-native rewrite of the hot core at
+/root/reference/dgp_dace/utils/layers.py:227-278 (Kuu Cholesky, Kuf, two
+triangular solves, mean/variance assembly) and
+/root/reference/dgp_dace/utils/utils.py:22-51 (reparameterize).
+
+Differences from the reference, by design:
+
+* The reference tiles Kuu/Lu per output GP (layers.py:232-233,251); here the
+  shared-Kuu structure is kept and broadcast against the [D, M, M] q_sqrt
+  batch, so the per-output work is pure batched matmul on the MXU.
+* The S-sample axis is folded into the point axis before the conditional
+  (one [M, S*N] Kuf matmul instead of S small ones), mirroring
+  layers.py:81-85 but keeping everything in one fused XLA computation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import default_jitter
+from .linalg import safe_cholesky, tri_solve
+
+
+class SVGPProjection(NamedTuple):
+    """Per-layer quantities that depend only on (kernel, Z, q) — not on X."""
+
+    Lu: jnp.ndarray        # [M, M] lower Cholesky of Kuu + jitter I
+    Kuu: jnp.ndarray       # [M, M] (jittered)
+    SK: jnp.ndarray        # [D, M, M] = q_sqrt q_sqrt^T - (Kuu or I)
+
+
+def precompute_projection(kernel, Z, q_sqrt, white: bool, jitter=None) -> SVGPProjection:
+    jitter = default_jitter() if jitter is None else jitter
+    Kuu = kernel.K(Z) + jitter * jnp.eye(Z.shape[0], dtype=Z.dtype)
+    Lu = jnp.linalg.cholesky(Kuu)
+    q_sqrt = jnp.tril(q_sqrt)
+    S = q_sqrt @ jnp.swapaxes(q_sqrt, -1, -2)  # [D, M, M]
+    if white:
+        SK = S - jnp.eye(Kuu.shape[0], dtype=Kuu.dtype)[None]
+    else:
+        SK = S - Kuu[None]
+    return SVGPProjection(Lu=Lu, Kuu=Kuu, SK=SK)
+
+
+def conditional_diag(kernel, Z, q_mu, q_sqrt, X, *, white: bool, jitter=None,
+                     proj: SVGPProjection | None = None):
+    """Marginal posterior q(f(X)) per point.
+
+    :param Z: inducing inputs [M, Din]
+    :param q_mu: [M, D]
+    :param q_sqrt: [D, M, M] (lower-triangular factor; tril applied here)
+    :param X: [n, Din]
+    :return: mean [n, D], var [n, D]  (mean excludes the mean function)
+    """
+    if proj is None:
+        proj = precompute_projection(kernel, Z, q_sqrt, white, jitter)
+    Kuf = kernel.K(Z, X)                       # [M, n]
+    A = tri_solve(proj.Lu, Kuf, lower=True)    # Lu^{-1} Kuf
+    if not white:
+        A = tri_solve(proj.Lu.T, A, lower=False)  # Kuu^{-1} Kuf
+    mean = A.T @ q_mu                          # [n, D]
+    B = proj.SK @ A[None]                      # [D, M, n] batched MXU matmul
+    delta = jnp.sum(A[None] * B, axis=1)       # [D, n]
+    Kff = kernel.K_diag(X)                     # [n]
+    var = (Kff[None, :] + delta).T             # [n, D]
+    return mean, var
+
+
+def conditional_full(kernel, Z, q_mu, q_sqrt, X, *, white: bool, jitter=None,
+                     proj: SVGPProjection | None = None):
+    """Joint posterior over X: mean [n, D], cov [n, n, D]
+    (axis order matches layers.py:265-276)."""
+    if proj is None:
+        proj = precompute_projection(kernel, Z, q_sqrt, white, jitter)
+    Kuf = kernel.K(Z, X)
+    A = tri_solve(proj.Lu, Kuf, lower=True)
+    if not white:
+        A = tri_solve(proj.Lu.T, A, lower=False)
+    mean = A.T @ q_mu
+    B = proj.SK @ A[None]                      # [D, M, n]
+    delta = jnp.swapaxes(A[None], -1, -2) @ B  # [D, n, n]
+    Kff = kernel.K(X)                          # [n, n]
+    cov = jnp.transpose(Kff[None] + delta, (1, 2, 0))  # [n, n, D]
+    return mean, cov
+
+
+def reparameterize(mean, var, z, full_cov: bool = False, jitter=None):
+    """Draw N(mean, var) samples from unit normals z.
+
+    Diagonal: mean [..., N, D], var [..., N, D].
+    Full-cov: var [..., N, N, D]; a per-(sample, output) Cholesky is taken,
+    matching /root/reference/dgp_dace/utils/utils.py:43-51.
+    """
+    jitter = default_jitter() if jitter is None else jitter
+    if var is None:
+        return mean
+    if not full_cov:
+        return mean + z * jnp.sqrt(var + jitter)
+    # [..., N, N, D] -> [..., D, N, N]
+    var_d = jnp.moveaxis(var, -1, -3)
+    eye = jnp.eye(var_d.shape[-1], dtype=var_d.dtype)
+    chol = jnp.linalg.cholesky(var_d + jitter * eye)
+    z_d = jnp.moveaxis(z, -1, -2)[..., None]           # [..., D, N, 1]
+    f = jnp.moveaxis(mean, -1, -2) + (chol @ z_d)[..., 0]
+    return jnp.moveaxis(f, -2, -1)

@@ -1,0 +1,75 @@
+"""Data-parallel ELBO over a TPU mesh.
+
+The DGP ELBO's data term is a sum over independent data rows
+(/root/reference/dgp_dace/models/dgp.py:96-99), so it shards embarrassingly
+over the N axis: parameters replicate, each device evaluates its rows'
+variational expectations, and a single ``psum`` over ICI reduces the partial
+sums (and, by transposition, the parameter gradients). The reference has no
+counterpart — it is single-process TF (SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # JAX >= 0.6 exposes shard_map at top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from ..layers.svgp import layer_kl
+from ..models.dgp import DGPParams, predict_f
+
+
+def make_data_parallel_elbo(
+    mesh: Mesh,
+    num_samples: int,
+    num_data: Optional[int] = None,
+    axis_name: str = "data",
+):
+    """Build elbo(params, X, Y, key) with X/Y sharded on their leading axis.
+
+    Per-device work: propagate local rows with a device-distinct PRNG key,
+    sum the local variational expectations, ``psum`` over the mesh, subtract
+    the (replicated) KL. Output is device-invariant.
+    """
+
+    def _shard_elbo(params: DGPParams, X, Y, key):
+        idx = jax.lax.axis_index(axis_name)
+        key = jax.random.fold_in(key, idx)
+        Fmean, Fvar = predict_f(params, X, key, num_samples)
+        var_exp = params.likelihood.variational_expectations(Fmean, Fvar, Y)
+        local = jnp.sum(jnp.mean(var_exp, axis=0))
+        total = jax.lax.psum(local, axis_name)
+        n_local = X.shape[0]
+        n_batch = n_local * jax.lax.psum(1, axis_name)
+        scale = (num_data or n_batch) / n_batch
+        kl = sum(layer_kl(layer, layer.z) for layer in params.layers)
+        return total * scale - kl
+
+    return _shard_map(
+        _shard_elbo,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+
+def make_data_parallel_loss(mesh, num_samples, num_data=None, axis_name="data"):
+    """Negative data-parallel ELBO with the (params, key) signature expected by
+    the training engines; X/Y are closed over by the caller."""
+    pelbo = make_data_parallel_elbo(mesh, num_samples, num_data, axis_name)
+
+    def make(X, Y):
+        def loss(params, key):
+            return -pelbo(params, X, Y, key)
+
+        return loss
+
+    return make

@@ -1,0 +1,121 @@
+"""Natural gradients on Gaussian variational parameters.
+
+Pure-function replacement for gpflow's ``NaturalGradient(gamma)`` optimizer
+used by every training loop in the reference
+(/root/reference/dgp_dace/models/dgp.py:188,218;
+/root/reference/dgp_dace/models/MF_DGP.py:456,514). The update follows
+Salimbeni et al. (2018): with xi = (q_mu, q_sqrt) the "XiSqrtMeanVar"
+coordinates, eta the expectation parameters and theta the natural parameters
+of N(m, S),
+
+    theta_new = theta(xi) - gamma * dL/deta,   xi_new = xi(theta_new)
+
+where dL/deta is obtained by differentiating the loss through the
+eta -> xi map. All matrix-valued parameters are explicitly symmetrized at map
+entry so that raw autodiff gradients coincide with gradients in the vector
+space of symmetric matrices (see test_natgrad.py for the conjugate-model
+exactness check that pins this convention down).
+
+Everything is vmapped over the D independent output GPs.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.linalg import cho_solve
+
+
+def _sym(A):
+    return 0.5 * (A + jnp.swapaxes(A, -1, -2))
+
+
+def _chol(A, jitter=1e-12):
+    return jnp.linalg.cholesky(_sym(A) + jitter * jnp.eye(A.shape[-1], dtype=A.dtype))
+
+
+# -- coordinate maps (single output: m [M], L [M, M] lower) ------------------
+
+def meanvarsqrt_to_expectation(m, L):
+    L = jnp.tril(L)
+    S = L @ L.T
+    return m, S + jnp.outer(m, m)
+
+
+def expectation_to_meanvarsqrt(eta1, eta2):
+    S = _sym(eta2) - jnp.outer(eta1, eta1)
+    return eta1, _chol(S)
+
+
+def meanvarsqrt_to_natural(m, L):
+    L = jnp.tril(L)
+    S_inv = cho_solve(L, jnp.eye(L.shape[-1], dtype=L.dtype))
+    S_inv = _sym(S_inv)
+    return S_inv @ m, -0.5 * S_inv
+
+
+def natural_to_meanvarsqrt(theta1, theta2):
+    # S = 0.5 * (-theta2)^{-1}
+    Lp = _chol(-theta2)
+    S = 0.5 * cho_solve(Lp, jnp.eye(Lp.shape[-1], dtype=Lp.dtype))
+    S = _sym(S)
+    m = S @ theta1
+    return m, _chol(S)
+
+
+# -- batched over outputs -----------------------------------------------------
+
+def _vmap_outputs(fn):
+    return jax.vmap(fn, in_axes=(0, 0), out_axes=(0, 0))
+
+
+def natgrad_step_multi(qs, loss_fn, gamma: float):
+    """One joint natural-gradient step over several layers' (q_mu, q_sqrt).
+
+    Mirrors gpflow ``NaturalGradient.minimize(loss, var_list=[(q_mu, q_sqrt),
+    ...])`` as used at /root/reference/dgp_dace/models/dgp.py:218: one loss
+    evaluation provides dL/deta for every pair, then each pair takes the step
+    theta - gamma * dL/deta.
+
+    :param qs: list of (q_mu [M_i, D_i], q_sqrt [D_i, M_i, M_i]).
+    :param loss_fn: scalar loss as a function of such a list.
+    :return: list of updated (q_mu, q_sqrt).
+    """
+    etas = [
+        _vmap_outputs(meanvarsqrt_to_expectation)(m.T, jnp.tril(L))
+        for (m, L) in qs
+    ]
+
+    def loss_from_etas(etas_):
+        new_qs = []
+        for e1, e2 in etas_:
+            m, L = _vmap_outputs(expectation_to_meanvarsqrt)(e1, e2)
+            new_qs.append((m.T, L))
+        return loss_fn(new_qs)
+
+    grads = jax.grad(loss_from_etas)(etas)
+
+    out = []
+    for (m, L), (g1, g2) in zip(qs, grads):
+        th1, th2 = _vmap_outputs(meanvarsqrt_to_natural)(m.T, jnp.tril(L))
+        th1 = th1 - gamma * g1
+        th2 = th2 - gamma * _sym(g2)
+        m_new, L_new = _vmap_outputs(natural_to_meanvarsqrt)(th1, th2)
+        out.append((m_new.T, L_new))
+    return out
+
+
+def natgrad_step(
+    q_mu: jnp.ndarray,
+    q_sqrt: jnp.ndarray,
+    loss_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    gamma: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-layer convenience wrapper over :func:`natgrad_step_multi`."""
+    (res,) = natgrad_step_multi(
+        [(q_mu, q_sqrt)], lambda qs: loss_fn(qs[0][0], qs[0][1]), gamma
+    )
+    return res

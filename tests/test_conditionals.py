@@ -1,0 +1,118 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dgp_tpu.ops import kernels as K
+from dgp_tpu.ops.conditionals import (
+    conditional_diag,
+    conditional_full,
+    reparameterize,
+)
+from dgp_tpu import config
+
+
+def setup(M=6, n=9, d=2, D=3, seed=0):
+    rng = np.random.default_rng(seed)
+    Z = rng.normal(size=(M, d))
+    X = rng.normal(size=(n, d))
+    kern = K.RBF.create(variance=1.4, lengthscales=[0.8, 1.2])
+    q_mu = rng.normal(size=(M, D))
+    A = rng.normal(size=(D, M, M)) * 0.3
+    q_sqrt = np.tril(A + 2 * np.eye(M))
+    return kern, Z, X, q_mu, q_sqrt
+
+
+def naive_conditional(kern, Z, X, q_mu, q_sqrt, white):
+    jit = config.default_jitter()
+    Kuu = np.asarray(kern.K(jnp.asarray(Z))) + jit * np.eye(Z.shape[0])
+    Kuf = np.asarray(kern.K(jnp.asarray(Z), jnp.asarray(X)))
+    Kff = np.asarray(kern.K(jnp.asarray(X))) + 0 * np.eye(X.shape[0])
+    Kuu_inv = np.linalg.inv(Kuu)
+    L = np.linalg.cholesky(Kuu)
+    D = q_mu.shape[1]
+    means, covs = [], []
+    for d_ in range(D):
+        S = q_sqrt[d_] @ q_sqrt[d_].T
+        if white:
+            A = np.linalg.solve(L, Kuf)  # L^-1 Kuf
+            mean = A.T @ q_mu[:, d_]
+            cov = Kff + A.T @ (S - np.eye(Z.shape[0])) @ A
+        else:
+            A = Kuu_inv @ Kuf
+            mean = A.T @ q_mu[:, d_]
+            cov = Kff + A.T @ (S - Kuu) @ A
+        means.append(mean)
+        covs.append(cov)
+    return np.stack(means, 1), np.stack(covs, -1)  # [n,D], [n,n,D]
+
+
+def test_conditional_diag_matches_naive():
+    for white in (False, True):
+        kern, Z, X, q_mu, q_sqrt = setup()
+        mean, var = conditional_diag(
+            kern, jnp.asarray(Z), jnp.asarray(q_mu), jnp.asarray(q_sqrt),
+            jnp.asarray(X), white=white,
+        )
+        mean_n, cov_n = naive_conditional(kern, Z, X, q_mu, q_sqrt, white)
+        np.testing.assert_allclose(np.asarray(mean), mean_n, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(var),
+            np.stack([np.diag(cov_n[:, :, d]) for d in range(3)], 1),
+            rtol=1e-7, atol=1e-10,
+        )
+
+
+def test_conditional_full_matches_naive():
+    kern, Z, X, q_mu, q_sqrt = setup()
+    mean, cov = conditional_full(
+        kern, jnp.asarray(Z), jnp.asarray(q_mu), jnp.asarray(q_sqrt),
+        jnp.asarray(X), white=False,
+    )
+    mean_n, cov_n = naive_conditional(kern, Z, X, q_mu, q_sqrt, False)
+    np.testing.assert_allclose(np.asarray(mean), mean_n, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(cov), cov_n, rtol=1e-7, atol=1e-9)
+
+
+def test_prior_init_recovers_prior():
+    """q_mu=0, q_sqrt=chol(Kuu) (the init at utils/layers.py:220-223) must give
+    mean 0 and var = prior Kff."""
+    kern, Z, X, _, _ = setup(D=1)
+    M = Z.shape[0]
+    Kuu = kern.K(jnp.asarray(Z)) + config.default_jitter() * jnp.eye(M)
+    Lu = jnp.linalg.cholesky(Kuu)
+    q_mu = jnp.zeros((M, 1))
+    q_sqrt = Lu[None]
+    mean, var = conditional_diag(
+        kern, jnp.asarray(Z), q_mu, q_sqrt, jnp.asarray(X), white=False
+    )
+    np.testing.assert_allclose(np.asarray(mean), 0.0, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(var[:, 0]), np.asarray(kern.K_diag(jnp.asarray(X))),
+        rtol=1e-8,
+    )
+
+
+def test_reparameterize_diag_and_full_agree_on_diagonal_cov():
+    rng = np.random.default_rng(2)
+    S, N, D = 4, 5, 2
+    mean = jnp.asarray(rng.normal(size=(S, N, D)))
+    var = jnp.asarray(rng.uniform(0.5, 2.0, size=(S, N, D)))
+    z = jnp.asarray(rng.normal(size=(S, N, D)))
+    diag_sample = reparameterize(mean, var, z, full_cov=False)
+    full_var = jax.vmap(
+        lambda v: jnp.stack([jnp.diag(v[:, d]) for d in range(D)], -1)
+    )(var)
+    full_sample = reparameterize(mean, full_var, z, full_cov=True)
+    np.testing.assert_allclose(
+        np.asarray(diag_sample), np.asarray(full_sample), rtol=1e-5, atol=1e-7
+    )
+
+
+def test_reparameterize_statistics():
+    key = jax.random.PRNGKey(0)
+    mean = jnp.full((200000, 1, 1), 1.5)
+    var = jnp.full((200000, 1, 1), 0.49)
+    z = jax.random.normal(key, mean.shape)
+    s = reparameterize(mean, var, z)
+    assert abs(float(jnp.mean(s)) - 1.5) < 5e-3
+    assert abs(float(jnp.std(s)) - 0.7) < 5e-3

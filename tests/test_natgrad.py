@@ -1,0 +1,104 @@
+import numpy as np
+import jax.numpy as jnp
+
+from dgp_tpu.variational import gauss_kl, natgrad_step
+from dgp_tpu.variational.natgrad import (
+    expectation_to_meanvarsqrt,
+    meanvarsqrt_to_expectation,
+    meanvarsqrt_to_natural,
+    natural_to_meanvarsqrt,
+)
+
+
+def rand_ml(rng, M):
+    m = rng.normal(size=M)
+    A = rng.normal(size=(M, M)) * 0.2
+    L = np.tril(A + np.eye(M))
+    return jnp.asarray(m), jnp.asarray(L)
+
+
+def test_coordinate_map_roundtrips():
+    rng = np.random.default_rng(0)
+    m, L = rand_ml(rng, 5)
+    e1, e2 = meanvarsqrt_to_expectation(m, L)
+    m2, L2 = expectation_to_meanvarsqrt(e1, e2)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(L2 @ L2.T), np.asarray(L @ L.T), rtol=1e-8
+    )
+    t1, t2 = meanvarsqrt_to_natural(m, L)
+    m3, L3 = natural_to_meanvarsqrt(t1, t2)
+    np.testing.assert_allclose(np.asarray(m3), np.asarray(m), rtol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(L3 @ L3.T), np.asarray(L @ L.T), rtol=1e-6
+    )
+
+
+def test_one_step_exact_on_conjugate_model():
+    """For a conjugate Gaussian model, one natural-gradient step with gamma=1
+    must land exactly on the optimum (Salimbeni et al. 2018) — this pins down
+    every symmetrization convention in the implementation."""
+    rng = np.random.default_rng(1)
+    M = 7
+    B = rng.normal(size=(M, M))
+    Kuu = B @ B.T + M * np.eye(M)
+    Lu = np.linalg.cholesky(Kuu)
+    y = rng.normal(size=(M, 1))
+    noise = 0.3
+
+    def neg_elbo(q_mu, q_sqrt):
+        # E_q[log N(y | u, noise)] - KL(q || N(0, Kuu)) with f = u (Z = X)
+        S_diag = jnp.sum(jnp.tril(q_sqrt[0]) ** 2, axis=1)
+        ll = (
+            -0.5 * M * jnp.log(2 * jnp.pi * noise)
+            - 0.5 * jnp.sum((y[:, 0] - q_mu[:, 0]) ** 2) / noise
+            - 0.5 * jnp.sum(S_diag) / noise
+        )
+        return -(ll - gauss_kl(q_mu, q_sqrt, jnp.asarray(Lu)))
+
+    # arbitrary init
+    q_mu0 = jnp.asarray(rng.normal(size=(M, 1)))
+    L0 = np.tril(rng.normal(size=(M, M)) * 0.1 + np.eye(M))
+    q_sqrt0 = jnp.asarray(L0)[None]
+
+    q_mu1, q_sqrt1 = natgrad_step(q_mu0, q_sqrt0, neg_elbo, gamma=1.0)
+
+    # exact posterior: S* = (Kuu^-1 + I/noise)^-1,  m* = S* y / noise
+    S_star = np.linalg.inv(np.linalg.inv(Kuu) + np.eye(M) / noise)
+    m_star = S_star @ y[:, 0] / noise
+    np.testing.assert_allclose(np.asarray(q_mu1[:, 0]), m_star, rtol=1e-6, atol=1e-8)
+    S1 = np.asarray(q_sqrt1[0] @ q_sqrt1[0].T)
+    np.testing.assert_allclose(S1, S_star, rtol=1e-6, atol=1e-8)
+
+    # and the ELBO equals the exact log marginal likelihood at the optimum
+    from scipy.stats import multivariate_normal
+
+    log_ml = multivariate_normal.logpdf(
+        y[:, 0], mean=np.zeros(M), cov=Kuu + noise * np.eye(M)
+    )
+    np.testing.assert_allclose(
+        -float(neg_elbo(q_mu1, q_sqrt1)), log_ml, rtol=1e-8
+    )
+
+
+def test_small_gamma_decreases_loss():
+    rng = np.random.default_rng(2)
+    M = 5
+    B = rng.normal(size=(M, M))
+    Kuu = B @ B.T + M * np.eye(M)
+    Lu = jnp.asarray(np.linalg.cholesky(Kuu))
+    y = jnp.asarray(rng.normal(size=(M, 2)))
+
+    def neg_elbo(q_mu, q_sqrt):
+        S_diag = jnp.stack(
+            [jnp.sum(jnp.tril(q_sqrt[d]) ** 2, axis=1) for d in range(2)], 1
+        )
+        ll = -0.5 * jnp.sum((y - q_mu) ** 2) - 0.5 * jnp.sum(S_diag)
+        return -(ll - gauss_kl(q_mu, q_sqrt, Lu))
+
+    q_mu = jnp.asarray(rng.normal(size=(M, 2)))
+    q_sqrt = jnp.tile(jnp.eye(M)[None], (2, 1, 1))
+    before = float(neg_elbo(q_mu, q_sqrt))
+    q_mu2, q_sqrt2 = natgrad_step(q_mu, q_sqrt, neg_elbo, gamma=0.1)
+    after = float(neg_elbo(q_mu2, q_sqrt2))
+    assert after < before

@@ -1,0 +1,75 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dgp_tpu.models.dgp import DGP, elbo
+from dgp_tpu.ops import kernels as K
+from dgp_tpu.parallel import make_data_parallel_elbo, make_mesh, shard_batch
+
+
+def build(N=64, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(0, 1, size=(N, 2))
+    Y = np.sin(4 * X[:, :1]) + X[:, 1:]
+    kernels = [K.RBF.create(lengthscales=[1.0, 1.0]), K.RBF.create(lengthscales=[1.0])]
+    model = DGP(X, Y, X[:8].copy(), kernels, [1], num_samples=1)
+    return model, jnp.asarray(X), jnp.asarray(Y)
+
+
+def test_sharded_elbo_matches_single_device():
+    model, X, Y = build()
+    mesh = make_mesh(8)
+    Xs, Ys = shard_batch(mesh, X, Y)
+    pelbo = make_data_parallel_elbo(mesh, num_samples=1)
+    key = jax.random.PRNGKey(0)
+    sharded = float(jax.jit(pelbo)(model.params, Xs, Ys, key))
+    # Single-device value with the same per-shard key folding, for an exact
+    # apples-to-apples check we only compare statistically-stable pieces:
+    single = float(elbo(model.params, X, Y, key, num_samples=1))
+    # one MC draw per scheme -> compare within a few std of the MC noise;
+    # with S=1 on a 2-layer model the ELBO varies by O(1) between draws.
+    assert abs(sharded - single) / max(1.0, abs(single)) < 0.2
+
+    # Determinism of the sharded value itself
+    sharded2 = float(jax.jit(pelbo)(model.params, Xs, Ys, key))
+    np.testing.assert_allclose(sharded, sharded2, rtol=1e-12)
+
+
+def test_sharded_elbo_exact_match_on_single_layer():
+    """With one layer the ELBO is sampling-free, so sharded == unsharded
+    to numerical precision."""
+    rng = np.random.default_rng(1)
+    N = 40
+    X = rng.uniform(0, 1, size=(N, 1))
+    Y = np.sin(5 * X)
+    model = DGP(X, Y, X[:8].copy(), [K.RBF.create(lengthscales=[1.0])], [],
+                num_samples=3)
+    mesh = make_mesh(8)
+    Xs, Ys = shard_batch(mesh, jnp.asarray(X), jnp.asarray(Y))
+    pelbo = make_data_parallel_elbo(mesh, num_samples=3)
+    key = jax.random.PRNGKey(0)
+    sharded = float(jax.jit(pelbo)(model.params, Xs, Ys, key))
+    single = float(elbo(model.params, jnp.asarray(X), jnp.asarray(Y), key, 3))
+    np.testing.assert_allclose(sharded, single, rtol=1e-8)
+
+
+def test_sharded_gradients_match_single_device():
+    rng = np.random.default_rng(2)
+    N = 48
+    X = rng.uniform(0, 1, size=(N, 1))
+    Y = np.sin(5 * X)
+    model = DGP(X, Y, X[:6].copy(), [K.RBF.create(lengthscales=[1.0])], [],
+                num_samples=2)
+    mesh = make_mesh(8)
+    Xs, Ys = shard_batch(mesh, jnp.asarray(X), jnp.asarray(Y))
+    pelbo = make_data_parallel_elbo(mesh, num_samples=2)
+    key = jax.random.PRNGKey(0)
+
+    g_sharded = jax.jit(jax.grad(lambda p: -pelbo(p, Xs, Ys, key)))(model.params)
+    g_single = jax.jit(
+        jax.grad(lambda p: -elbo(p, jnp.asarray(X), jnp.asarray(Y), key, 2))
+    )(model.params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_sharded), jax.tree_util.tree_leaves(g_single)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-9)
