@@ -1,0 +1,295 @@
+"""Expected hypervolume improvement (EHVI) + Pareto utilities.
+
+TPU-native counterpart of /root/reference/dgp_dace/EHVI.py: 2-D staircase
+hypervolume (HV_calcul), feasibility-filtered non-dominated sort (NDC), front
+padding (Y_ND), the psi helper, and the EHVI acquisition in three estimators
+(exact 2-D, Gaussian approximation with MC sample covariance, KDE over
+samples), plus the DE/Adam EHVI optimizer.
+
+Supported model forms: a list of two independent DGPs, or a MultiObjDeepGP
+(the reference's TF1-era 'coreg' branch, EHVI.py:131-149, is dead code and is
+not ported). Reference bug fixed: optimize_EHVI passed population_stddev and
+population_size swapped into tfp (EHVI.py:216).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.stats import norm
+
+from ..config import default_float
+from ..models import dgp as dgp_mod
+from . import de
+from .acquisition import sigmoid_box_map
+
+
+# -- Pareto utilities (numpy, small-n host code) --------------------------------
+
+
+def HV_calcul(ND, Y, bounds):
+    """2-D staircase dominated hypervolume w.r.t. the upper corner (U1, U2)
+    (EHVI.py:8-33). ``ND`` is an obj1-ascending index list into Y[0]/Y[1]."""
+    L1, L2, U1, U2 = bounds
+    y1 = np.asarray(Y[0]).reshape(-1)
+    y2 = np.asarray(Y[1]).reshape(-1)
+    if len(ND) == 0:
+        return 0.0
+    if any((y1[i] > U1) and (y2[i] > U2) for i in ND):
+        return 0.0
+    hv = max((U1 - y1[ND[0]]) * (U2 - y2[ND[0]]), 0.0)
+    for i in range(len(ND) - 1):
+        cur, nxt = ND[i], ND[i + 1]
+        if (y1[nxt] > U1) or (y2[nxt] > U2):
+            a = 0.0
+        elif (y2[nxt] <= U2) and (y2[cur] > U2):
+            a = (U2 - y2[nxt]) * (U1 - y1[nxt])
+        else:
+            a = (y2[cur] - y2[nxt]) * (U1 - y1[nxt])
+        hv += a
+    return float(hv)
+
+
+def NDC(Y, C, obj1_ascending=True):
+    """Feasibility-filtered non-dominated indices, sorted by objective 1
+    (EHVI.py:35-81). Minimization; a point is dominated if another feasible
+    point is <= in both objectives and < in one."""
+    y = np.concatenate((np.asarray(Y[0]), np.asarray(Y[1])), axis=1)
+    C = np.asarray(C)
+    feasible = [i for i in range(len(y)) if C[i].max() <= 0]
+    if not feasible:
+        return []
+    nd = []
+    for i in feasible:
+        dominated = any(
+            (y[j, 0] < y[i, 0] and y[j, 1] <= y[i, 1])
+            or (y[j, 0] <= y[i, 0] and y[j, 1] < y[i, 1])
+            for j in feasible
+        )
+        if not dominated:
+            nd.append(i)
+    nd.sort(key=lambda i: y[i, 0])
+    return nd if obj1_ascending else nd[::-1]
+
+
+def Y_ND(Y, ND, nadir, ideal=(0.0, 0.0)):
+    """Pad the (obj1-descending) front with nadir/ideal corners
+    (EHVI.py:90-100)."""
+    y0 = np.asarray(Y[0])[ND]
+    y1 = np.asarray(Y[1])[ND]
+    out0 = np.zeros((len(ND) + 2, 1))
+    out1 = np.zeros((len(ND) + 2, 1))
+    out0[1:-1] = y0.reshape(-1, 1)
+    out1[1:-1] = y1.reshape(-1, 1)
+    out0[0], out0[-1] = nadir[0], ideal[0]
+    out1[0], out1[-1] = ideal[1], nadir[1]
+    return [out0, out1]
+
+
+def psi(a, b, mu, sigma):
+    """sigma*phi((b-mu)/sigma) + (a-mu)*Phi((b-mu)/sigma) (EHVI.py:102-104)."""
+    z = (b - mu) / sigma
+    return sigma * norm.pdf(z) + (a - mu) * norm.cdf(z)
+
+
+# -- model moments/samples -------------------------------------------------------
+
+
+def _mo_moments_and_samples(model_Y, Xcand, S, key, need_samples):
+    """(mean0, var0, mean1, var1, samples [S, n, 2] or None)."""
+    Xcand = jnp.asarray(Xcand, dtype=default_float())
+    if isinstance(model_Y, (list, tuple)):
+        k0, k1 = jax.random.split(key)
+        Fs0, Fm0, Fv0 = dgp_mod.propagate(model_Y[0].params, Xcand, k0, S)
+        Fs1, Fm1, Fv1 = dgp_mod.propagate(model_Y[1].params, Xcand, k1, S)
+        m0 = jnp.mean(Fm0[-1], axis=0)
+        v0 = jnp.mean(Fv0[-1] + Fm0[-1] ** 2, axis=0) - m0**2
+        m1 = jnp.mean(Fm1[-1], axis=0)
+        v1 = jnp.mean(Fv1[-1] + Fm1[-1] ** 2, axis=0) - m1**2
+        samples = (
+            jnp.concatenate([Fs0[-1], Fs1[-1]], axis=2) if need_samples else None
+        )
+        return m0, v0, m1, v1, samples
+    if getattr(model_Y, "name", None) == "mo_dgp":
+        from ..models import mo_dgp as mo_mod
+
+        Fs, Fms, Fvs = mo_mod.propagate(
+            model_Y.params, Xcand, key, S, loop=model_Y.loop
+        )
+        m0 = jnp.mean(Fms[-2], axis=0)
+        v0 = jnp.mean(Fvs[-2] + Fms[-2] ** 2, axis=0) - m0**2
+        m1 = jnp.mean(Fms[-1], axis=0)
+        v1 = jnp.mean(Fvs[-1] + Fms[-1] ** 2, axis=0) - m1**2
+        samples = (
+            jnp.concatenate([Fs[-2], Fs[-1]], axis=2) if need_samples else None
+        )
+        return m0, v0, m1, v1, samples
+    raise ValueError(
+        "model_Y must be a list of two DGPs or a MultiObjDeepGP (the "
+        "reference's TF1 'coreg' branch is not supported)"
+    )
+
+
+# -- EHVI estimators ---------------------------------------------------------------
+
+
+def EHVI(model_Y, Xcand, YND, corr=False, approximation="None", S=1000,
+         key=None):
+    """Expected hypervolume improvement at candidate points (EHVI.py:107-197).
+
+    :param YND: padded front [Y0 [n,1], Y1 [n,1]] from :func:`Y_ND`
+        (obj1-descending, corners included).
+    :return: [n_cand, 1]
+    """
+    key = key if key is not None else jax.random.PRNGKey(0)
+    Y0 = jnp.asarray(np.asarray(YND[0]).reshape(-1), dtype=default_float())
+    Y1 = jnp.asarray(np.asarray(YND[1]).reshape(-1), dtype=default_float())
+    n = Y0.shape[0]
+    need_samples = (approximation == "KDE") or (
+        approximation == "Gaussian" and corr
+    )
+    m0, v0, m1, v1, samples = _mo_moments_and_samples(
+        model_Y, Xcand, S, key, need_samples
+    )
+    m0, v0, m1, v1 = m0[:, 0], v0[:, 0], m1[:, 0], v1[:, 0]
+    s0, s1 = jnp.sqrt(v0), jnp.sqrt(v1)
+
+    if approximation == "None":
+        if corr:
+            raise NotImplementedError(
+                "exact EHVI under output correlation is not available "
+                "(the reference only prints a message here, EHVI.py:152)"
+            )
+        # staircase sums, vectorized over front segments (EHVI.py:154-156)
+        def seg1(i):
+            return (
+                (Y0[i - 1] - Y0[i])
+                * (norm.cdf((Y0[i] - m0) / s0) - norm.cdf((Y0[-1] - m0) / s0))
+                * (psi(Y1[i], Y1[i], m1, s1) - psi(Y1[i], Y1[0], m1, s1))
+            )
+
+        def seg2(i):
+            return (
+                psi(Y0[i - 1], Y0[i - 1], m0, s0) - psi(Y0[i - 1], Y0[i], m0, s0)
+            ) * (psi(Y1[i], Y1[i], m1, s1) - psi(Y1[i], Y1[0], m1, s1))
+
+        term1 = sum(seg1(i) for i in range(1, n - 1))
+        term2 = sum(seg2(i) for i in range(1, n))
+        return (term1 + term2)[:, None]
+
+    if approximation == "Gaussian":
+        # Gaussian cell-integral approximation (EHVI.py:158-191)
+        n_cand = m0.shape[0]
+        if corr:
+            sbar = jnp.mean(samples, axis=0)  # [n_cand, 2]
+            diff = jnp.transpose(samples - sbar[None], (1, 0, 2))  # [n_cand,S,2]
+            Sigma = jnp.matmul(jnp.swapaxes(diff, -1, -2), diff) / S
+        else:
+            Sigma = jax.vmap(jnp.diag)(jnp.stack([v0, v1], axis=1))
+        mu = jnp.stack([m0, m1], axis=1)  # [n_cand, 2]
+
+        def mvn_pdf(lam, cov):
+            d = lam[None, :] - mu  # [n_cand, 2]
+            cinv = jnp.linalg.inv(cov)
+            det = jnp.linalg.det(cov)
+            quad = jnp.einsum("ni,nij,nj->n", d, cinv, d)
+            return jnp.exp(-0.5 * quad) / (2 * jnp.pi * jnp.sqrt(det))
+
+        total = jnp.zeros(n_cand, dtype=m0.dtype)
+        for i in range(1, int(n) - 1):
+            z = jnp.array([Y0[i] - Y0[-1], 0.5 * (Y1[i] - Y1[0]) ** 2])
+            lam = jnp.array([0.5 * (Y0[i] + Y0[-1]), (Y1[i] + 2 * Y1[0]) / 3.0])
+            tau2 = jnp.array(
+                [(Y0[i] - Y0[-1]) ** 2 / 12.0, (Y1[i] - Y1[0]) ** 2 / 18.0]
+            )
+            pdf = mvn_pdf(lam, Sigma + jnp.diag(tau2)[None])
+            total = total + (Y0[i - 1] - Y0[i]) * jnp.prod(z) * pdf
+        for i in range(1, int(n)):
+            z = jnp.array(
+                [0.5 * (Y0[i - 1] - Y0[i]) ** 2, 0.5 * (Y1[i] - Y1[0]) ** 2]
+            )
+            lam = jnp.array(
+                [(Y0[i - 1] + 2 * Y0[i]) / 3.0, (Y1[i] + 2 * Y1[0]) / 3.0]
+            )
+            tau2 = jnp.array(
+                [(Y0[i - 1] - Y0[i]) ** 2 / 18.0, (Y1[i] - Y1[0]) ** 2 / 18.0]
+            )
+            pdf = mvn_pdf(lam, Sigma + jnp.diag(tau2)[None])
+            total = total + jnp.prod(z) * pdf
+        return total[:, None]
+
+    if approximation == "KDE":
+        # Silverman-bandwidth KDE over the joint samples (EHVI.py:192-197)
+        h0 = ((4.0 / 4.0) ** (1.0 / 6.0) * S ** (-1.0 / 6.0) * s0) ** 2
+        h1 = ((4.0 / 4.0) ** (1.0 / 6.0) * S ** (-1.0 / 6.0) * s1) ** 2
+        b0, b1 = jnp.sqrt(h0), jnp.sqrt(h1)  # [n_cand]
+        F0 = samples[:, :, 0]  # [S, n_cand]
+        F1 = samples[:, :, 1]
+
+        def seg1(i):
+            return (Y0[i - 1] - Y0[i]) * jnp.mean(
+                (norm.cdf((Y0[i] - F0) / b0) - norm.cdf((Y0[-1] - F0) / b0))
+                * (psi(Y1[i], Y1[i], F1, b1) - psi(Y1[i], Y1[0], F1, b1)),
+                axis=0,
+            )
+
+        def seg2(i):
+            return jnp.mean(
+                (psi(Y0[i - 1], Y0[i - 1], F0, b0) - psi(Y0[i - 1], Y0[i], F0, b0))
+                * (psi(Y1[i], Y1[i], F1, b1) - psi(Y1[i], Y1[0], F1, b1)),
+                axis=0,
+            )
+
+        term1 = sum(seg1(i) for i in range(1, int(n) - 1))
+        term2 = sum(seg2(i) for i in range(1, int(n)))
+        return (term1 + term2)[:, None]
+
+    raise ValueError(f"unknown approximation {approximation!r}")
+
+
+def optimize_EHVI(model, YND, popsize_DE=300, popstd_DE=1.5, iterations_DE=400,
+                  init_adam=None, lr_adam=0.01, iterations_adam=1000,
+                  method="DE", corr=False, approximation="None", S=1000,
+                  bounds=(0.0, 1.0), key=None):
+    """Maximize EHVI over the box via DE and/or Adam on the sigmoid map
+    (EHVI.py:208-235; fixes the swapped DE population args at line 216).
+
+    :return: x_opt [1, d]
+    """
+    key = key if key is not None else jax.random.PRNGKey(0)
+    dtype = default_float()
+    d = np.asarray(model._X[0]).shape[1] if not isinstance(model, (list, tuple)) \
+        else np.asarray(model[0].data[0]).shape[1]
+    lw = jnp.full((d,), bounds[0], dtype=dtype)
+    up = jnp.full((d,), bounds[1], dtype=dtype)
+    key, k_mc, k_de = jax.random.split(key, 3)
+
+    def fct(V):
+        x = sigmoid_box_map(lw, up, V)
+        return -EHVI(model, x, YND, corr=corr, approximation=approximation,
+                     S=S, key=k_mc).reshape(-1)
+
+    x_opt = None
+    if method in ("DE", "DE+Adam"):
+        res = de.minimize(jax.jit(fct), jnp.zeros((d,), dtype=dtype), k_de,
+                          population_size=popsize_DE,
+                          population_stddev=popstd_DE,
+                          max_iterations=iterations_DE)
+        x_opt = sigmoid_box_map(lw, up, res.position)
+    if method in ("Adam", "DE+Adam"):
+        from .acquisition import inverse_box_map
+
+        if init_adam is not None:
+            v0 = inverse_box_map(lw, up, jnp.asarray(init_adam, dtype=dtype))
+        elif x_opt is not None:
+            v0 = inverse_box_map(lw, up, x_opt)
+        else:
+            v0 = jnp.zeros((d,), dtype=dtype)
+        v, _ = de.adam_refine(fct, v0, iterations=iterations_adam, lr=lr_adam)
+        x_opt = sigmoid_box_map(lw, up, v)
+    if x_opt is None:
+        raise ValueError(f"unknown method {method!r}")
+    return np.asarray(x_opt)[None, :]

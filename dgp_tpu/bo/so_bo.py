@@ -1,0 +1,326 @@
+"""Single-objective (un)constrained Bayesian optimization driver.
+
+TPU-native counterpart of ``SO_BO`` (/root/reference/dgp_dace/BO/SO_BO.py:56-350):
+GP/DGP surrogates built from spec dicts, EI/WB2/WB2S infill with EV/PoF
+constraint handling, LHS DoE, input/output normalization, and the
+add-point/retrain loop.
+
+Reference bugs fixed (unexercised by its notebooks — SURVEY.md §7.3):
+* the from-scratch rebuild discarded the new objective model (SO_BO.py:280);
+* multi-constraint retraining reshaped all constraints into one column
+  (SO_BO.py:291);
+* unconstrained problems with normalize_input=False crashed on undefined
+  bounds (here they default to the unit box).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..models.dgp import DGP
+from ..models.gpr import GPR
+from ..ops import kernels as kernels_lib
+from ..ops.likelihoods import Gaussian
+from .acquisition import EI, EV, WB2, WB2S, PoF
+from .doe import doe
+
+
+def normalize(*args):
+    out = [(a - a.mean(axis=0)) / a.std(axis=0) for a in args]
+    return out[0] if len(out) == 1 else out
+
+
+def normalize_X(X):
+    mu, sd = X.mean(axis=0), X.std(axis=0)
+    return (X - mu) / sd, (0 - mu) / sd, (1 - mu) / sd
+
+
+def normalize_C(C):
+    mu, sd = C.mean(axis=0), C.std(axis=0)
+    return (C - mu) / sd, (0 - mu) / sd
+
+
+def denormalize(Xstar_n, X):
+    return X.std(axis=0) * Xstar_n + X.mean(axis=0)
+
+
+def denormalize_var(var_n, X):
+    return X.std(axis=0) ** 2 * var_n
+
+
+class SO_BO:
+    """Minimize f(x) over [0,1]^d subject to g(x) <= 0.
+
+    :param model_Y_dic: {'num_layers': l, 'num_units': [...], 'kernels':
+        'rbf'|'matern32'|'matern52'|[...], 'num_samples': S}; num_layers=0
+        builds an exact GPR surrogate.
+    :param model_C_dic: one dict (shared) or a list per constraint.
+    """
+
+    def __init__(self, problem=None, X=None, Y=None, C=None, DoE_size=None,
+                 model_Y_dic=None, model_C_dic=None, normalize_input=True,
+                 seed: Optional[int] = None):
+        if problem is None:
+            raise ValueError("You have to specify a problem to optimize")
+        if not isinstance(model_Y_dic, dict):
+            raise ValueError(
+                "You have to specify a dictionary for the architecture of the "
+                "objective function model"
+            )
+        if problem.constraint and model_C_dic is None:
+            raise ValueError(
+                "You have to specify a dictionary for the architecture of the "
+                "constraint functions models"
+            )
+        self.problem = problem
+        self.model_Y_dic = model_Y_dic
+        self.model_C_dic = model_C_dic
+        self._seed = seed
+
+        if DoE_size is None and X is None:
+            raise ValueError(
+                "You have to specify either a size to generate a DoE or a "
+                "known DoE (X, Y)"
+            )
+        if X is None:
+            if problem.constraint:
+                self.X, self.Y, self.C = doe(problem, DoE_size, seed=seed)
+            else:
+                self.X, self.Y = doe(problem, DoE_size, seed=seed)
+                self.C = None
+        else:
+            self.X = np.array(X, copy=True)
+            self.Y = np.array(Y, copy=True)
+            self.C = np.array(C, copy=True) if problem.constraint else None
+
+        self.d = problem.dim
+        self.n = self.X.shape[0]
+        self.normalize_input = normalize_input
+        self._refresh_normalization()
+
+        self.model_Y = self.make_model(model_Y_dic, self.X_train, self.Y_train)
+        if problem.constraint:
+            n_c = self.C.shape[1]
+            if not isinstance(model_C_dic, list):
+                self.model_C_dic = [model_C_dic] * n_c
+            self.model_C = [
+                self.make_model(
+                    self.model_C_dic[i], self.X_train,
+                    self.C_train[:, i].reshape(-1, 1),
+                )
+                for i in range(n_c)
+            ]
+
+        self.Xfeasible, self.Yfeasible, self.Ymin = [], [], []
+        self.feasible()
+        self.added_points = []
+        self.IC = None
+        self.constrained_IC = None
+
+    # -- data management --------------------------------------------------------
+    def _refresh_normalization(self):
+        if self.normalize_input:
+            self.X_n, self.lw_n, self.up_n = normalize_X(self.X)
+            self.Y_n = normalize(self.Y)
+            self.X_train, self.Y_train = self.X_n, self.Y_n
+            if self.problem.constraint:
+                self.C_n, self.feasible_0 = normalize_C(self.C)
+                self.C_train = self.C_n
+        else:
+            self.X_train, self.Y_train = self.X, self.Y
+            self.lw_n = np.zeros(self.d)
+            self.up_n = np.ones(self.d)
+            if self.problem.constraint:
+                self.C_train = self.C
+                self.feasible_0 = np.zeros(self.C.shape[1])
+
+    def feasible(self):
+        """Track the feasible subset and the running observed minimum
+        (SO_BO.py:154-174)."""
+        if self.C is not None:
+            mask = self.C.max(axis=1) <= 0
+            self.Xfeasible = self.X[mask]
+            self.Yfeasible = self.Y[mask]
+            self.Cfeasible = self.C[mask]
+            if len(self.Yfeasible) == 0:
+                self.Ymin = [np.max(self.Y)]
+            else:
+                self.Ymin = [np.min(self.Yfeasible)]
+        else:
+            self.Xfeasible = self.X
+            self.Yfeasible = self.Y
+            self.Ymin = [np.min(self.Y)]
+
+    # -- model factory (spec dict) ----------------------------------------------
+    def make_model(self, dic, X, Y):
+        if "num_layers" not in dic:
+            raise ValueError("num_layers entry is not specified")
+        num_layers = dic["num_layers"]
+        kern_names = dic.get("kernels")
+        if kern_names is None:
+            raise ValueError("kernels entry is not specified")
+
+        if num_layers == 0:
+            if not isinstance(kern_names, str):
+                raise ValueError("for num_layers=0, kernels must be a string")
+            kernel = kernels_lib.by_name(kern_names, X.shape[1])
+            return GPR((X, Y), kernel, noise_variance=1e-5)
+
+        num_samples = dic.get("num_samples")
+        if num_samples is None:
+            raise ValueError("num_samples entry is not specified")
+        num_units = dic.get("num_units")
+        if num_units is None:
+            raise ValueError("num_units entry is not specified")
+        if isinstance(num_units, int):
+            num_units = [num_units] * num_layers
+        elif len(num_units) != num_layers:
+            raise ValueError(
+                "the length of num_units has to equal the number of layers"
+            )
+        if isinstance(kern_names, str):
+            kern_names = [kern_names] * (num_layers + 1)
+        elif len(kern_names) != num_layers + 1:
+            raise ValueError(
+                "the length of kernels has to equal num_layers + 1"
+            )
+        kernels = []
+        for l in range(num_layers + 1):
+            units = X.shape[1] if l == 0 else num_units[l - 1]
+            kernels.append(kernels_lib.by_name(kern_names[l], units))
+        return DGP(X, Y, X.copy(), kernels, num_units, Gaussian.create(1.0),
+                   num_samples=num_samples)
+
+    # -- training -----------------------------------------------------------------
+    def train_model(self, model, iteration=3000):
+        if model.name == "gpr":
+            model.optimize_adam(iterations=iteration, lr=0.001)
+        elif model.name == "dgp":
+            model.optimize_nat_adam(iterations1=500, iterations2=iteration,
+                                    beta_1=0.8, beta_2=0.9, lr_gamma=0.01,
+                                    messages=0)
+
+    def train_models(self, iteration_Y=3000, iteration_C=3000):
+        self.train_model(self.model_Y, iteration_Y)
+        if self.problem.constraint:
+            if not isinstance(iteration_C, list):
+                iteration_C = [iteration_C] * self.C.shape[1]
+            for i in range(self.C.shape[1]):
+                self.train_model(self.model_C[i], iteration_C[i])
+
+    # -- BO loop --------------------------------------------------------------------
+    def run(self, iterations, from_scratch=None, IC="EI",
+            constraint_handling="PoF", threshold=0.1, train_iterations=1000,
+            popsize_DE=300, popstd_DE=1.5, iterations_DE=400, init_adam=None,
+            iterations_adam=1000, IC_method="DE+Adam", analytic=True,
+            verbose=True):
+        import jax
+
+        key = jax.random.PRNGKey(self._seed or 0)
+        for j in range(iterations):
+            if verbose:
+                print(f"adding the most promising data point in iteration {j}")
+            bounds = (self.lw_n, self.up_n)
+            fs = iterations + 1 if from_scratch is None else from_scratch
+            if j % fs == 0 and j != 0:
+                self.model_Y = self.make_model(
+                    self.model_Y_dic, self.X_train, self.Y_train
+                )
+                if self.problem.constraint:
+                    self.model_C = [
+                        self.make_model(
+                            self.model_C_dic[i], self.X_train,
+                            self.C_train[:, i].reshape(-1, 1),
+                        )
+                        for i in range(self.C.shape[1])
+                    ]
+            if j % fs == 0:
+                self.train_models(train_iterations, train_iterations)
+            else:
+                self._rebind_data()
+                self.train_models(train_iterations // 2, train_iterations // 2)
+
+            y_min_n = (self.Ymin[-1] - self.Y.mean(axis=0)) / self.Y.std(axis=0)
+            if IC == "EI":
+                self.IC = EI(y_min_n, self.d)
+            elif IC == "WB2":
+                self.IC = WB2(y_min_n, self.d)
+            elif IC == "WB2S":
+                self.IC = WB2S(y_min_n, self.d)
+            else:
+                raise ValueError(f"unknown IC {IC!r}")
+
+            key, sub = jax.random.split(key)
+            if self.problem.constraint:
+                if constraint_handling == "PoF":
+                    self.constrained_IC = PoF(self.feasible_0, self.d)
+                    self.added_points = self.constrained_IC.optimize_with_IC(
+                        self.IC, self.model_Y, self.model_C, bounds,
+                        popsize_DE=popsize_DE, popstd_DE=popstd_DE,
+                        iterations_DE=iterations_DE, method=IC_method, key=sub,
+                    )
+                elif constraint_handling == "EV":
+                    self.constrained_IC = EV(self.feasible_0, self.d)
+                    self.added_points = self.constrained_IC.optimize_with_IC(
+                        self.IC, self.model_Y, self.model_C, bounds,
+                        threshold=threshold, popsize_DE=popsize_DE,
+                        popstd_DE=popstd_DE, iterations_DE=iterations_DE,
+                        method=IC_method, analytic=analytic, key=sub,
+                    )
+                else:
+                    raise ValueError(
+                        f"unknown constraint_handling {constraint_handling!r}"
+                    )
+            else:
+                self.added_points = self.IC.optimize(
+                    self.model_Y, bounds, popsize_DE=popsize_DE,
+                    popstd_DE=popstd_DE, iterations_DE=iterations_DE,
+                    init_adam=init_adam, iterations_adam=iterations_adam,
+                    method=IC_method, analytic=analytic, key=sub,
+                )
+            self.add_point()
+            if verbose:
+                print("Actual Y min:", self.Ymin[-1])
+
+    def _rebind_data(self):
+        import jax.numpy as jnp
+
+        from ..config import default_float
+
+        dt = default_float()
+        as_j = lambda a: jnp.asarray(np.asarray(a), dtype=dt)
+        self.model_Y.data = (as_j(self.X_train), as_j(self.Y_train))
+        if self.problem.constraint:
+            for i in range(self.C.shape[1]):
+                self.model_C[i].data = (
+                    as_j(self.X_train),
+                    as_j(self.C_train[:, i].reshape(-1, 1)),
+                )
+
+    def add_point(self):
+        """Evaluate the problem at the new point, append, renormalize
+        (SO_BO.py:315-350). ``added_points`` is [1, d]."""
+        x_new_n = np.asarray(self.added_points).reshape(1, self.d)
+        if self.normalize_input:
+            x_new = denormalize(x_new_n, self.X)
+        else:
+            x_new = x_new_n
+        out = self.problem.fun(x_new)
+        self.X = np.append(self.X, x_new, axis=0)
+        self.Y = np.append(self.Y, np.reshape(out[0], (1, -1)), axis=0)
+        if self.problem.constraint:
+            self.C = np.append(self.C, np.reshape(out[1], (1, -1)), axis=0)
+            if self.C[-1].max() <= 0:
+                self.Yfeasible = np.append(self.Yfeasible, self.Y[-1])
+                self.Xfeasible = np.append(self.Xfeasible, self.X[-1])
+                self.Ymin = np.append(self.Ymin, np.min(self.Yfeasible))
+            else:
+                self.Ymin = np.append(self.Ymin, self.Ymin[-1])
+        else:
+            self.Yfeasible = self.Y
+            self.Xfeasible = self.X
+            self.Ymin = np.append(self.Ymin, np.min(self.Y))
+        self._refresh_normalization()
+        self._rebind_data()

@@ -1,0 +1,369 @@
+"""Multi-fidelity deep GP (Cutajar et al. style, Hebbal improvements).
+
+TPU-native counterpart of /root/reference/dgp_dace/models/MF_DGP.py: one SVGP
+layer per fidelity; layer i's input is [x, f_{i-1}(x)]; layers i >= 1 carry
+*augmented inducing points* Z_i = [Z_left, Z_right] where Z_left is trainable
+and Z_right is recomputed INSIDE the loss by propagating Z_left through the
+earlier layers with a 50-sample mean (MF_DGP.py:33-44,204-207) — gradients
+flow into Z_left through both the concat and the propagation. In JAX this is
+simply a pure function of (params, key).
+
+Composite per-fidelity kernel: k_corr * (k_prev + Linear) + k_in (+ White on
+non-last layers, whose variance doubles as the inner-fidelity likelihood
+noise; MF_DGP.py:249-297,188).
+
+Deviation (documented): the reference's ELBO-time ``sample_Z_right`` applies
+layer 0 twice for i=0 (MF_DGP.py:38-44); since layer 0's kernel only reads the
+first Din columns, the second application is an identical-distribution
+resample, so we apply each layer once (as the reference's own init-time
+variant does, utils/layers.py:171-178).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..config import default_float
+from ..layers.svgp import (
+    SVGPLayer,
+    layer_kl,
+    make_svgp_layer,
+    mean_propagated_sample,
+    sample_from_conditional,
+)
+from ..ops import kernels as K
+from ..ops.likelihoods import Gaussian, fidelity_variational_expectations
+from . import training
+from .dgp import moment_matched
+
+
+class MFDGPParams(struct.PyTreeNode):
+    layers: Tuple[SVGPLayer, ...]
+    likelihood: Gaussian
+
+
+# -- augmented inducing points -------------------------------------------------
+
+
+def z_right(layers: Sequence[SVGPLayer], zs_full: Sequence, points, key,
+            num_samples=50, pad_cols: int = 0):
+    """Propagate ``points`` through ``layers`` (with their effective inducing
+    inputs ``zs_full``) as a mean of reparameterized samples, re-deriving the
+    augmented coordinate (MF_DGP.py:38-44).
+
+    :param pad_cols: zero columns appended to the first chain input. Used by
+        MO-DGP, whose layer 0 consumes [x, f]-shaped inputs: the reference
+        feeds it bare x and only functions because TF's GPU gather returns
+        zeros for the out-of-range column (MO_DGP.py:28-34 with the kernels of
+        MO_DGP.py:264-289); the zero-padding makes that behavior explicit.
+    """
+    zr = None
+    for j, (layer, zf) in enumerate(zip(layers, zs_full)):
+        key, sub = jax.random.split(key)
+        if j == 0:
+            inp = points
+            if pad_cols:
+                zeros = jnp.zeros((points.shape[0], pad_cols), dtype=points.dtype)
+                inp = jnp.concatenate([points, zeros], axis=1)
+        else:
+            inp = jnp.concatenate([points, zr], axis=1)
+        zr = mean_propagated_sample(layer, zf, inp, sub, num_samples)
+    return zr
+
+
+def compute_full_zs(layers: Sequence[SVGPLayer], key, num_samples=50,
+                    pad_cols: int = 0):
+    """Effective per-layer inducing inputs, recomputed each loss evaluation
+    (the in-graph side effect of MF_DGP.py:204-207 made pure)."""
+    zs = [layers[0].z]
+    for i in range(1, len(layers)):
+        key, sub = jax.random.split(key)
+        zr = z_right(layers[:i], zs[:i], layers[i].z_left, sub, num_samples,
+                     pad_cols=pad_cols)
+        zs.append(jnp.concatenate([layers[i].z_left, zr], axis=1))
+    return zs
+
+
+# -- model math -----------------------------------------------------------------
+
+
+def propagate(params: MFDGPParams, X, key, S: int, zs_full=None,
+              upto: Optional[int] = None, full_cov=False):
+    """Layer 0 on x; layer i on [x, F_{i-1}] (MF_DGP.py:98-132).
+
+    :param upto: propagate only fidelities 0..upto (inclusive); None = all.
+    """
+    if zs_full is None:
+        key, sub = jax.random.split(key)
+        zs_full = compute_full_zs(params.layers, sub)
+    n_layers = len(params.layers) if upto is None else upto + 1
+    sX = jnp.tile(X[None], (S, 1, 1))
+    F = sX
+    Fs, Fmeans, Fvars = [], [], []
+    for i in range(n_layers):
+        key, sub = jax.random.split(key)
+        inp = sX if i == 0 else jnp.concatenate([sX, F], axis=2)
+        F, Fmean, Fvar = sample_from_conditional(
+            params.layers[i], zs_full[i], inp, sub, full_cov=full_cov
+        )
+        Fs.append(F)
+        Fmeans.append(Fmean)
+        Fvars.append(Fvar)
+    return tuple(Fs), tuple(Fmeans), tuple(Fvars)
+
+
+def predict_f(params: MFDGPParams, X, key, S: int, fidelity: Optional[int] = None,
+              full_cov=False):
+    upto = fidelity if fidelity is not None and fidelity >= 0 else None
+    _, Fmeans, Fvars = propagate(params, X, key, S, upto=upto, full_cov=full_cov)
+    idx = -1 if fidelity is None else fidelity
+    return Fmeans[idx], Fvars[idx]
+
+
+def _white_variance(layer: SVGPLayer):
+    """Inner-fidelity likelihood noise = trailing White kernel variance
+    (MF_DGP.py:188)."""
+    return layer.kernel.kernels[-1].variance
+
+
+def elbo(params: MFDGPParams, Xs, Ys, key, num_samples: int,
+         train_upto_fidelity: int = -1):
+    """Sum of per-fidelity data terms (model likelihood on the last layer,
+    White-kernel Gaussian on inner layers) minus per-layer KLs
+    (MF_DGP.py:199-226)."""
+    key, kz = jax.random.split(key)
+    zs_full = compute_full_zs(params.layers, kz)
+    n_layers = len(params.layers)
+    L = 0.0
+    KL = 0.0
+    for fidelity in range(n_layers):
+        if train_upto_fidelity != -1 and fidelity > train_upto_fidelity:
+            continue
+        key, sub = jax.random.split(key)
+        _, Fmeans, Fvars = propagate(
+            params, Xs[fidelity], sub, num_samples, zs_full=zs_full,
+            upto=fidelity,
+        )
+        Fmean, Fvar = Fmeans[fidelity], Fvars[fidelity]
+        if fidelity == n_layers - 1:
+            var_exp = params.likelihood.variational_expectations(
+                Fmean, Fvar, Ys[fidelity]
+            )
+        else:
+            var_exp = fidelity_variational_expectations(
+                Fmean, Fvar, Ys[fidelity], _white_variance(params.layers[fidelity])
+            )
+        L += jnp.sum(jnp.mean(var_exp, axis=0))
+        KL += layer_kl(params.layers[fidelity], zs_full[fidelity])
+    return L - KL
+
+
+def predict_y(params: MFDGPParams, X, key, S: int, full_cov=False):
+    Fmean, Fvar = predict_f(params, X, key, S, full_cov=full_cov)
+    return params.likelihood.predict_mean_and_var(Fmean, Fvar)
+
+
+# -- construction ----------------------------------------------------------------
+
+
+def make_mf_kernels(Din: int, n_fidelities: int, add_linear=True, dtype=None):
+    """The MF composite kernel stack (MF_DGP.py:266-290)."""
+    kernels = [K.RBF.create(variance=1.0, lengthscales=[1.0] * Din,
+                            active_dims=list(range(Din)), dtype=dtype)]
+    for _ in range(1, n_fidelities):
+        D = Din + 1
+        d_in = tuple(range(Din))
+        d_prev = tuple(range(Din, D))
+        k_corr = K.RBF.create(variance=1.0, active_dims=d_in, dtype=dtype)
+        k_prev = K.RBF.create(variance=1.0, active_dims=d_prev, dtype=dtype)
+        k_in = K.RBF.create(variance=1.0, active_dims=d_in, dtype=dtype)
+        if add_linear:
+            k_l = k_corr * (k_prev + K.Linear.create(variance=1.0,
+                                                     active_dims=d_prev,
+                                                     dtype=dtype)) + k_in
+        else:
+            k_l = k_corr * k_prev + k_in
+        kernels.append(k_l)
+    # White on all but the last layer (inner-fidelity noise)
+    out = []
+    for i, kern in enumerate(kernels):
+        if i < n_fidelities - 1:
+            kern = kern + K.White.create(variance=1e-6, dtype=dtype)
+        out.append(kern)
+    return out
+
+
+def init_layers_mf(Z: List, kernels, num_outputs=1, key=None, num_samples=100,
+                   pad_cols: int = 0):
+    """Layer list with augmented inducing variables for i >= 1
+    (MF_DGP.py:46-64, utils/layers.py:208-213)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    dtype = default_float()
+    layers = [make_svgp_layer(kernels[0], Z[0], num_outputs, dtype=dtype)]
+    zs_full = [layers[0].z]
+    for i in range(1, len(Z)):
+        key, sub = jax.random.split(key)
+        zl = jnp.asarray(np.asarray(Z[i]), dtype=dtype)
+        zr = z_right(layers[:i], zs_full[:i], zl, sub, num_samples,
+                     pad_cols=pad_cols)
+        z_full = jnp.concatenate([zl, zr], axis=1)
+        layers.append(
+            make_svgp_layer(kernels[i], zl, num_outputs, augmented=True,
+                            Z_full_init=z_full, dtype=dtype)
+        )
+        zs_full.append(z_full)
+    return layers
+
+
+class MultiFidelityDeepGP:
+    """Reference-parity wrapper (MF_DGP.py:306-537): 3-phase staged training
+    (kernel-only -> +inducing -> +q/likelihood with natural gradients),
+    default Z = training inputs, moment-matched prediction over 250 samples."""
+
+    name = "mf_dgp"
+
+    def __init__(self, X, Y, Z=None, n_iter=5000, fix_inducing=True,
+                 num_samples=10, add_linear=True, seed=0):
+        dtype = default_float()
+        self._X = [jnp.asarray(np.asarray(x), dtype=dtype) for x in X]
+        self._Y = [jnp.asarray(np.asarray(y), dtype=dtype) for y in Y]
+        self.n_fidelities = len(X)
+        self.num_samples = num_samples
+        self._key = jax.random.PRNGKey(seed)
+        if Z is None:
+            Z = [np.asarray(X[0]).copy()] + [np.asarray(x).copy() for x in X[1:]]
+        self.Z = Z
+        kernels = make_mf_kernels(np.asarray(X[0]).shape[1], len(X),
+                                  add_linear=add_linear, dtype=dtype)
+        layers = init_layers_mf(Z, kernels, key=self._next_key())
+        self.params = MFDGPParams(layers=tuple(layers),
+                                  likelihood=Gaussian.create(1.0, dtype=dtype))
+        self.n_iter = n_iter
+        self.fix_inducing = fix_inducing
+
+    # -- utilities ------------------------------------------------------------
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _loss_fn(self):
+        Xs, Ys = tuple(self._X), tuple(self._Y)
+        S = self.num_samples
+
+        def loss(params, key):
+            return -elbo(params, Xs, Ys, key, S)
+
+        return loss
+
+    def objective(self):
+        return elbo(self.params, tuple(self._X), tuple(self._Y),
+                    self._next_key(), self.num_samples)
+
+    ELBO = objective
+
+    def propagate(self, X, full_cov=False, S=1):
+        X = jnp.asarray(X, dtype=default_float())
+        return propagate(self.params, X, self._next_key(), S, full_cov=full_cov)
+
+    def predict_f(self, X, full_cov=False, S=1, fidelity=None):
+        X = jnp.asarray(X, dtype=default_float())
+        return predict_f(self.params, X, self._next_key(), S, fidelity,
+                         full_cov=full_cov)
+
+    def predict_y(self, Xnew, num_samples, full_cov=False):
+        Xnew = jnp.asarray(Xnew, dtype=default_float())
+        return predict_y(self.params, Xnew, self._next_key(), num_samples,
+                         full_cov=full_cov)
+
+    def predict(self, X_test, full_cov=False):
+        """Highest fidelity, moment-matched over 250 samples
+        (MF_DGP.py:336-341)."""
+        y_m, y_v = self.predict_y(X_test, 250, full_cov=full_cov)
+        mean, var = moment_matched(y_m, y_v)
+        return (np.asarray(mean).reshape(-1, 1),
+                np.asarray(var).reshape(-1, 1))
+
+    # -- staged training --------------------------------------------------------
+    def _init_variational(self, q_sqrt_scale=1e-2):
+        """q init recipe (MF_DGP.py:457-475): q_mu <- Y_f, q_sqrt scaled by
+        var(Y_f); likelihood variance <- var(Y_last) * 1e-2."""
+        layers = list(self.params.layers)
+        for i in range(len(layers)):
+            y = self._Y[i]
+            if layers[i].q_mu.shape == y.shape:
+                q_mu = y
+            else:  # custom Z: keep zeros (the reference would crash here)
+                q_mu = layers[i].q_mu
+            scale = q_sqrt_scale * jnp.var(y)
+            layers[i] = layers[i].replace(q_mu=q_mu,
+                                          q_sqrt=layers[i].q_sqrt * scale)
+        lik = Gaussian.create(float(jnp.var(self._Y[-1])) * 1e-2,
+                              dtype=default_float())
+        self.params = self.params.replace(layers=tuple(layers), likelihood=lik)
+
+    def _phase_masks(self):
+        """Frozen sets per phase (MF_DGP.py:457-516)."""
+        q = {"q_mu", "q_sqrt"}
+        z = {"z", "z_left"}
+        lik = {"likelihood"}
+        m1 = training.make_mask(self.params, frozen_fields=lik | z,
+                                frozen_layer_fields={"all": q})
+        m2 = training.make_mask(self.params, frozen_fields=lik,
+                                frozen_layer_fields={"all": q})
+        m3 = training.make_mask(self.params,
+                                frozen_layer_fields={"all": q})
+        return m1, m2, m3
+
+    def optimize_adam(self, lr=0.01, iterations1=2000, iterations2=5000,
+                      iterations3=7500, beta_1=0.9, beta_2=0.999,
+                      epsilon=1e-7, messages=500, q_sqrt_scale=1e-2):
+        """3-phase Adam (MF_DGP.py:345-424); phase 3 unfreezes q + likelihood
+        for Adam instead of natural gradients."""
+        self._init_variational(q_sqrt_scale)
+        loss_fn = self._loss_fn()
+        m1, m2, _ = self._phase_masks()
+        m3 = training.make_mask(self.params)  # everything (but means)
+        for steps, mask in ((iterations1, m1), (iterations2, m2),
+                            (iterations3, m3)):
+            self.params, _ = training.adam_run(
+                loss_fn, self.params, mask, self._next_key(), steps=steps,
+                lr=lr, b1=beta_1, b2=beta_2, eps=epsilon, messages=messages,
+            )
+
+    def optimize_nat_adam(self, lr_adam=0.01, lr_gamma=0.01, iterations1=2000,
+                          iterations2=5000, iterations3=7500, beta_1=0.9,
+                          beta_2=0.999, epsilon=1e-7, messages=500,
+                          q_sqrt_scale=1e-2):
+        """3-phase Adam -> +inducing -> Adam+NatGrad (MF_DGP.py:426-519)."""
+        from .dgp import get_qs, set_qs
+
+        self._init_variational(q_sqrt_scale)
+        loss_fn = self._loss_fn()
+        m1, m2, m3 = self._phase_masks()
+        self.params, _ = training.adam_run(
+            loss_fn, self.params, m1, self._next_key(), steps=iterations1,
+            lr=lr_adam, b1=beta_1, b2=beta_2, eps=epsilon, messages=messages,
+        )
+        self.params, _ = training.adam_run(
+            loss_fn, self.params, m2, self._next_key(), steps=iterations2,
+            lr=lr_adam, b1=beta_1, b2=beta_2, eps=epsilon, messages=messages,
+        )
+        # phase 3: likelihood variance unfrozen; NatGrad on all layers' q
+        sel = list(range(len(self.params.layers)))
+        self.params, _ = training.nat_adam_run(
+            loss_fn, self.params, m3,
+            get_qs=lambda p: get_qs(p, sel),
+            set_qs=lambda p, qs: set_qs(p, sel, qs),
+            key=self._next_key(), steps=iterations3, lr_adam=lr_adam,
+            gamma=lr_gamma, b1=beta_1, b2=beta_2, eps=epsilon,
+            messages=messages,
+        )
+
+    @staticmethod
+    def _make_inducing_points(X: List, Y: List) -> List:
+        return [np.asarray(X[0]).copy()] + [np.asarray(x).copy() for x in X[1:]]

@@ -1,0 +1,280 @@
+"""Multi-objective deep GP.
+
+TPU-native counterpart of /root/reference/dgp_dace/models/MO_DGP.py: each of
+two objectives is one SVGP layer; layers are coupled by a recurrent
+alternation — the chain is seeded with a random normal column, layer 0 is
+applied to [x, F], then layers (1, 0, 1, 0, ...) alternate for 2*loop steps,
+and the final outputs of layer 0 then layer 1 become the two objectives
+(MO_DGP.py:88-122). Both layers use the MF composite kernel and layer >= 1
+carries augmented inducing points exactly as MF-DGP.
+
+Reference bug fixed: the ``_train_upto_fidelity`` typo in the ELBO guard
+(MO_DGP.py:204, attribute is ``_train_upto_objective``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..config import default_float
+from ..layers.svgp import SVGPLayer, layer_kl, sample_from_conditional
+from ..ops import kernels as K
+from ..ops.likelihoods import Gaussian, fidelity_variational_expectations
+from . import training
+from .dgp import moment_matched
+from .mf_dgp import compute_full_zs, init_layers_mf
+
+
+class MODGPParams(struct.PyTreeNode):
+    layers: Tuple[SVGPLayer, ...]
+    likelihood: Gaussian
+
+
+def make_mo_kernels(Din: int, n_objectives: int, add_linear=True, dtype=None):
+    """Every layer (including the first) uses the composite coupled kernel on
+    [x, f_other] inputs (MO_DGP.py:264-289)."""
+    kernels = []
+    for _ in range(n_objectives):
+        D = Din + 1
+        d_in = tuple(range(Din))
+        d_prev = tuple(range(Din, D))
+        k_corr = K.RBF.create(variance=1.0, active_dims=d_in, dtype=dtype)
+        k_prev = K.RBF.create(variance=1.0, active_dims=d_prev, dtype=dtype)
+        k_in = K.RBF.create(variance=1.0, active_dims=d_in, dtype=dtype)
+        if add_linear:
+            k_l = k_corr * (k_prev + K.Linear.create(
+                variance=1.0, active_dims=d_prev, dtype=dtype)) + k_in
+        else:
+            k_l = k_corr * k_prev + k_in
+        kernels.append(k_l)
+    return [
+        k + K.White.create(variance=1e-6, dtype=dtype) if i < n_objectives - 1
+        else k
+        for i, k in enumerate(kernels)
+    ]
+
+
+def propagate(params: MODGPParams, X, key, S: int, loop: int = 2,
+              full_cov=False):
+    """Recurrent alternation (MO_DGP.py:98-122). Returns exactly two entries
+    per output list: (objective 0, objective 1).
+
+    Note: like the reference (MO_DGP.py:102-103), the seed column is one
+    random draw per data point, shared across the S sample paths.
+    """
+    key, kz, kseed = jax.random.split(key, 3)
+    zs_full = compute_full_zs(params.layers, kz, pad_cols=1)
+    sX = jnp.tile(X[None], (S, 1, 1))
+    F0 = jax.random.normal(kseed, (X.shape[0], 1), dtype=X.dtype)
+    F = jnp.tile(F0[None], (S, 1, 1))
+
+    key, sub = jax.random.split(key)
+    F, Fmean, Fvar = sample_from_conditional(
+        params.layers[0], zs_full[0], jnp.concatenate([sX, F], 2), sub,
+        full_cov=full_cov,
+    )
+    if loop == 0:
+        key, sub = jax.random.split(key)
+        F, Fmean, Fvar = sample_from_conditional(
+            params.layers[1], zs_full[1], jnp.concatenate([sX, F], 2), sub,
+            full_cov=full_cov,
+        )
+    else:
+        for j in range(2 * loop):
+            k_idx = (j + 1) % 2
+            key, sub = jax.random.split(key)
+            F, Fmean, Fvar = sample_from_conditional(
+                params.layers[k_idx], zs_full[k_idx],
+                jnp.concatenate([sX, F], 2), sub, full_cov=full_cov,
+            )
+    Fs, Fmeans, Fvars = [F], [Fmean], [Fvar]
+    key, sub = jax.random.split(key)
+    F, Fmean, Fvar = sample_from_conditional(
+        params.layers[1], zs_full[1], jnp.concatenate([sX, F], 2), sub,
+        full_cov=full_cov,
+    )
+    Fs.append(F)
+    Fmeans.append(Fmean)
+    Fvars.append(Fvar)
+    return tuple(Fs), tuple(Fmeans), tuple(Fvars)
+
+
+def predict_f(params: MODGPParams, X, key, S: int, objective: Optional[int] = None,
+              loop: int = 2, full_cov=False):
+    idx = -1 if objective is None else objective
+    _, Fmeans, Fvars = propagate(params, X, key, S, loop=loop, full_cov=full_cov)
+    return Fmeans[idx], Fvars[idx]
+
+
+def elbo(params: MODGPParams, Xs, Ys, key, num_samples: int, loop: int = 2,
+         train_upto_objective: int = -1):
+    """Per-objective data terms + per-layer KLs (MO_DGP.py:190-217)."""
+    key, kz = jax.random.split(key)
+    zs_full = compute_full_zs(params.layers, kz, pad_cols=1)
+    n = len(params.layers)
+    L = 0.0
+    KL = 0.0
+    for objective in range(n):
+        if train_upto_objective != -1 and objective > train_upto_objective:
+            continue
+        key, sub = jax.random.split(key)
+        _, Fmeans, Fvars = propagate(params, Xs[objective], sub, num_samples,
+                                     loop=loop)
+        Fmean, Fvar = Fmeans[objective], Fvars[objective]
+        if objective == n - 1:
+            var_exp = params.likelihood.variational_expectations(
+                Fmean, Fvar, Ys[objective]
+            )
+        else:
+            var_exp = fidelity_variational_expectations(
+                Fmean, Fvar, Ys[objective],
+                params.layers[objective].kernel.kernels[-1].variance,
+            )
+        L += jnp.sum(jnp.mean(var_exp, axis=0))
+        KL += layer_kl(params.layers[objective], zs_full[objective])
+    return L - KL
+
+
+class MultiObjDeepGP:
+    """Reference-parity wrapper (MO_DGP.py:305-512). Default inducing points:
+    Z[0] = [X, Y_2], Z[1] = X (MO_DGP.py:495-512)."""
+
+    name = "mo_dgp"
+
+    def __init__(self, X, Y, Z=None, n_iter=5000, loop=2, fix_inducing=True,
+                 num_samples=10, seed=0):
+        dtype = default_float()
+        self._X = [jnp.asarray(np.asarray(x), dtype=dtype) for x in X]
+        self._Y = [jnp.asarray(np.asarray(y), dtype=dtype) for y in Y]
+        self.loop = loop
+        self.num_samples = num_samples
+        self._key = jax.random.PRNGKey(seed)
+        if Z is None:
+            Z = self._make_inducing_points(X, Y)
+        self.Z = Z
+        kernels = make_mo_kernels(np.asarray(X[0]).shape[1], len(X), dtype=dtype)
+        layers = init_layers_mf(Z, kernels, key=self._next_key(), pad_cols=1)
+        self.params = MODGPParams(layers=tuple(layers),
+                                  likelihood=Gaussian.create(1.0, dtype=dtype))
+        self.n_fidelities = len(X)
+        self.n_iter = n_iter
+        self.fix_inducing = fix_inducing
+        # expose a .model with .propagate for EHVI parity (EHVI.py:125)
+        self.model = self
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _loss_fn(self):
+        Xs, Ys = tuple(self._X), tuple(self._Y)
+        S, loop = self.num_samples, self.loop
+
+        def loss(params, key):
+            return -elbo(params, Xs, Ys, key, S, loop=loop)
+
+        return loss
+
+    def objective(self):
+        return elbo(self.params, tuple(self._X), tuple(self._Y),
+                    self._next_key(), self.num_samples, loop=self.loop)
+
+    ELBO = objective
+
+    def propagate(self, X, full_cov=False, S=1):
+        X = jnp.asarray(X, dtype=default_float())
+        return propagate(self.params, X, self._next_key(), S, loop=self.loop,
+                         full_cov=full_cov)
+
+    def predict_f(self, X, full_cov=False, S=1, objective=None):
+        X = jnp.asarray(X, dtype=default_float())
+        return predict_f(self.params, X, self._next_key(), S, objective,
+                         loop=self.loop, full_cov=full_cov)
+
+    def predict_y(self, Xnew, num_samples, full_cov=False):
+        Fmean, Fvar = self.predict_f(Xnew, S=num_samples, full_cov=full_cov)
+        return self.params.likelihood.predict_mean_and_var(Fmean, Fvar)
+
+    def predict(self, X_test, full_cov=False):
+        y_m, y_v = self.predict_y(X_test, 250, full_cov=full_cov)
+        mean, var = moment_matched(y_m, y_v)
+        return (np.asarray(mean).reshape(-1, 1), np.asarray(var).reshape(-1, 1))
+
+    # -- staged training ----------------------------------------------------------
+    def _init_variational(self, q_sqrt_scale=1e-2):
+        """MO_DGP.py:440-450: q_mu <- Y_i; q_sqrt scaled by var(Y); likelihood
+        variance <- var(Y_last)*1e-2."""
+        layers = list(self.params.layers)
+        for i in range(len(layers)):
+            y = self._Y[i]
+            q_mu = y if layers[i].q_mu.shape == y.shape else layers[i].q_mu
+            scale = q_sqrt_scale * jnp.var(self._Y[min(i, len(self._Y) - 1)])
+            layers[i] = layers[i].replace(q_mu=q_mu,
+                                          q_sqrt=layers[i].q_sqrt * scale)
+        lik = Gaussian.create(float(jnp.var(self._Y[-1])) * 1e-2,
+                              dtype=default_float())
+        self.params = self.params.replace(layers=tuple(layers), likelihood=lik)
+
+    def optimize_nat_adam(self, lr_adam=0.01, lr_gamma=0.01, iterations1=2000,
+                          iterations2=5000, iterations3=7500, messages=500,
+                          q_sqrt_scale=1e-2):
+        """3-phase training (MO_DGP.py:418-494)."""
+        from .dgp import get_qs, set_qs
+
+        self._init_variational(q_sqrt_scale)
+        loss_fn = self._loss_fn()
+        q = {"q_mu", "q_sqrt"}
+        m1 = training.make_mask(self.params,
+                                frozen_fields={"likelihood", "z", "z_left"},
+                                frozen_layer_fields={"all": q})
+        m2 = training.make_mask(self.params, frozen_fields={"likelihood"},
+                                frozen_layer_fields={"all": q})
+        m3 = training.make_mask(self.params, frozen_layer_fields={"all": q})
+        self.params, _ = training.adam_run(
+            loss_fn, self.params, m1, self._next_key(), steps=iterations1,
+            lr=lr_adam, messages=messages,
+        )
+        self.params, _ = training.adam_run(
+            loss_fn, self.params, m2, self._next_key(), steps=iterations2,
+            lr=lr_adam, messages=messages,
+        )
+        sel = list(range(len(self.params.layers)))
+        self.params, _ = training.nat_adam_run(
+            loss_fn, self.params, m3,
+            get_qs=lambda p: get_qs(p, sel),
+            set_qs=lambda p, qs: set_qs(p, sel, qs),
+            key=self._next_key(), steps=iterations3, lr_adam=lr_adam,
+            gamma=lr_gamma, messages=messages,
+        )
+
+    def optimize_adam(self, lr=0.01, iterations1=2000, iterations2=5000,
+                      iterations3=7500, messages=500, q_sqrt_scale=1e-5):
+        """3-phase plain-Adam variant (MO_DGP.py:345-417)."""
+        self._init_variational(q_sqrt_scale)
+        loss_fn = self._loss_fn()
+        q = {"q_mu", "q_sqrt"}
+        m1 = training.make_mask(self.params,
+                                frozen_fields={"likelihood", "z", "z_left"},
+                                frozen_layer_fields={"all": q})
+        m2 = training.make_mask(self.params, frozen_fields={"likelihood"},
+                                frozen_layer_fields={"all": q})
+        m3 = training.make_mask(self.params)
+        for steps, mask in ((iterations1, m1), (iterations2, m2),
+                            (iterations3, m3)):
+            self.params, _ = training.adam_run(
+                loss_fn, self.params, mask, self._next_key(), steps=steps,
+                lr=lr, messages=messages,
+            )
+
+    @staticmethod
+    def _make_inducing_points(X: List, Y: List) -> List:
+        Z = [np.concatenate((np.asarray(X[0]).copy(), np.asarray(Y[1]).copy()),
+                            axis=1)]
+        for x in X[1:]:
+            Z.append(np.asarray(x).copy())
+        return Z

@@ -39,7 +39,8 @@ def precompute_projection(kernel, Z, q_sqrt, white: bool, jitter=None) -> SVGPPr
     Kuu = kernel.K(Z) + jitter * jnp.eye(Z.shape[0], dtype=Z.dtype)
     Lu = jnp.linalg.cholesky(Kuu)
     q_sqrt = jnp.tril(q_sqrt)
-    S = q_sqrt @ jnp.swapaxes(q_sqrt, -1, -2)  # [D, M, M]
+    S = jnp.matmul(q_sqrt, jnp.swapaxes(q_sqrt, -1, -2),
+                   precision=jax.lax.Precision.HIGHEST)  # [D, M, M]
     if white:
         SK = S - jnp.eye(Kuu.shape[0], dtype=Kuu.dtype)[None]
     else:
@@ -59,15 +60,19 @@ def conditional_diag(kernel, Z, q_mu, q_sqrt, X, *, white: bool, jitter=None,
     """
     if proj is None:
         proj = precompute_projection(kernel, Z, q_sqrt, white, jitter)
+    hi = jax.lax.Precision.HIGHEST
     Kuf = kernel.K(Z, X)                       # [M, n]
     A = tri_solve(proj.Lu, Kuf, lower=True)    # Lu^{-1} Kuf
     if not white:
         A = tri_solve(proj.Lu.T, A, lower=False)  # Kuu^{-1} Kuf
-    mean = A.T @ q_mu                          # [n, D]
-    B = proj.SK @ A[None]                      # [D, M, n] batched MXU matmul
+    mean = jnp.matmul(A.T, q_mu, precision=hi)  # [n, D]
+    B = jnp.matmul(proj.SK, A[None], precision=hi)  # [D, M, n] batched MXU
     delta = jnp.sum(A[None] * B, axis=1)       # [D, n]
     Kff = kernel.K_diag(X)                     # [n]
-    var = (Kff[None, :] + delta).T             # [n, D]
+    # clamp: var >= 0 mathematically (Schur complement); f32 rounding through
+    # the solves can push it slightly negative, which would NaN the sqrt in
+    # reparameterize.
+    var = jnp.maximum((Kff[None, :] + delta).T, 0.0)  # [n, D]
     return mean, var
 
 
@@ -77,13 +82,14 @@ def conditional_full(kernel, Z, q_mu, q_sqrt, X, *, white: bool, jitter=None,
     (axis order matches layers.py:265-276)."""
     if proj is None:
         proj = precompute_projection(kernel, Z, q_sqrt, white, jitter)
+    hi = jax.lax.Precision.HIGHEST
     Kuf = kernel.K(Z, X)
     A = tri_solve(proj.Lu, Kuf, lower=True)
     if not white:
         A = tri_solve(proj.Lu.T, A, lower=False)
-    mean = A.T @ q_mu
-    B = proj.SK @ A[None]                      # [D, M, n]
-    delta = jnp.swapaxes(A[None], -1, -2) @ B  # [D, n, n]
+    mean = jnp.matmul(A.T, q_mu, precision=hi)
+    B = jnp.matmul(proj.SK, A[None], precision=hi)            # [D, M, n]
+    delta = jnp.matmul(jnp.swapaxes(A[None], -1, -2), B, precision=hi)
     Kff = kernel.K(X)                          # [n, n]
     cov = jnp.transpose(Kff[None] + delta, (1, 2, 0))  # [n, n, D]
     return mean, cov
@@ -100,7 +106,7 @@ def reparameterize(mean, var, z, full_cov: bool = False, jitter=None):
     if var is None:
         return mean
     if not full_cov:
-        return mean + z * jnp.sqrt(var + jitter)
+        return mean + z * jnp.sqrt(jnp.maximum(var, 0.0) + jitter)
     # [..., N, N, D] -> [..., D, N, N]
     var_d = jnp.moveaxis(var, -1, -3)
     eye = jnp.eye(var_d.shape[-1], dtype=var_d.dtype)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -68,10 +69,12 @@ class _Stationary(Kernel):
             X2s = Xs
         else:
             X2s = self._scaled(X2)
-        # ||x||^2 + ||z||^2 - 2 x.z  — one big matmul for the cross term (MXU).
+        # ||x||^2 + ||z||^2 - 2 x.z — one big matmul for the cross term (MXU).
+        # HIGHEST precision: the TPU default would compute the cross term in
+        # bf16, whose ~1e-2 error destroys the Kff - Qff cancellation in f32.
         xx = jnp.sum(Xs * Xs, axis=-1)[:, None]
         zz = jnp.sum(X2s * X2s, axis=-1)[None, :]
-        cross = Xs @ X2s.T
+        cross = jnp.matmul(Xs, X2s.T, precision=jax.lax.Precision.HIGHEST)
         return jnp.maximum(xx + zz - 2.0 * cross, 0.0)
 
     @property

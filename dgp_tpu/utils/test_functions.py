@@ -1,0 +1,72 @@
+"""Analytic multi-fidelity benchmark functions.
+
+The reference notebooks pull these from emukit (nb_mfdgp_improved cell 2,
+nb_mfdgpem cell 4); emukit is not a dependency here so the standard formulas
+are implemented directly: the Park function pair on [0,1]^4 and the
+variant-input-dimension Park_VD pair (low fidelity on [0,1]^2, high on
+[0,1]^4, extra coordinates pinned to 0.5 in the low-fidelity coupling).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def park_high(x):
+    """Park function, x in [0,1]^4 -> [n, 1]."""
+    x = np.asarray(x)
+    x1 = np.maximum(x[:, 0], 1e-8)
+    x2, x3, x4 = x[:, 1], x[:, 2], x[:, 3]
+    ret = (x1 / 2) * (np.sqrt(1 + (x2 + x3**2) * x4 / x1**2) - 1)
+    ret += (x1 + 3 * x4) * np.exp(1 + np.sin(x3))
+    return ret[:, None]
+
+
+def park_low(x):
+    """Low-fidelity Park (emukit convention)."""
+    x = np.asarray(x)
+    x1, x2, x3 = x[:, 0], x[:, 1], x[:, 2]
+    ret = (1 + np.sin(x1) / 10) * park_high(x)[:, 0] - 2 * x1 + x2**2 + x3**2 + 0.5
+    return ret[:, None]
+
+
+def park_vd_high(x):
+    """Park_VD high fidelity on [0,1]^4 (nb_mfdgpem cell 4 index convention:
+    x2 <- x[:,2], x3 <- x[:,1])."""
+    x = np.asarray(x)
+    x1 = np.maximum(x[:, 0], 1e-8)
+    x2, x3, x4 = x[:, 2], x[:, 1], x[:, 3]
+    tmp = 1 + (x2 + x3) * (x4 / x1**2)
+    return ((x1 / 2) * (np.sqrt(tmp) - 1) + (x1 + 3 * x4) * np.exp(1 + np.sin(x3)))[
+        :, None
+    ]
+
+
+def park_vd_low(x):
+    """Park_VD low fidelity on [0,1]^2: couples to the high function with the
+    missing coordinates pinned at 0.5."""
+    x = np.asarray(x)
+    f_high = park_vd_high(
+        np.concatenate((x, 0.5 * np.ones((x.shape[0], 2))), axis=1)
+    )
+    x1, x2 = x[:, 0], x[:, 1]
+    return ((1 + np.sin(x1) / 10) * f_high[:, 0] - 2 * x1 + x2**2 + 0.5**2 + 0.5)[
+        :, None
+    ]
+
+
+def calculate_metrics(y_test, y_mean, y_var):
+    """r2 / rmse / mnll as defined in nb_mfdgpem cell 7."""
+    from scipy.stats import norm
+
+    y_test = np.asarray(y_test).reshape(-1)
+    y_mean = np.asarray(y_mean).reshape(-1)
+    y_var = np.asarray(y_var).reshape(-1)
+    ss_res = np.sum((y_test - y_mean) ** 2)
+    ss_tot = np.sum((y_test - y_test.mean()) ** 2)
+    r2 = 1 - ss_res / ss_tot
+    rmse = float(np.sqrt(np.mean((y_test - y_mean) ** 2)))
+    mnll = -float(
+        np.sum(norm.logpdf(y_test, loc=y_mean, scale=np.sqrt(y_var)))
+    ) / len(y_test)
+    return {"r2": float(r2), "rmse": rmse, "mnll": mnll}

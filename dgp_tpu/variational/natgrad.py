@@ -104,7 +104,15 @@ def natgrad_step_multi(qs, loss_fn, gamma: float):
         th1 = th1 - gamma * g1
         th2 = th2 - gamma * _sym(g2)
         m_new, L_new = _vmap_outputs(natural_to_meanvarsqrt)(th1, th2)
-        out.append((m_new.T, L_new))
+        # Guard: a too-large step can leave the natural-parameter cone
+        # (-theta2 loses positive-definiteness), surfacing as NaNs from the
+        # Cholesky. Keep the previous value for that layer and let the next
+        # iteration retry from wherever Adam moved the rest of the model
+        # (gpflow's optimizer would raise here and kill the whole run).
+        ok = jnp.all(jnp.isfinite(m_new)) & jnp.all(jnp.isfinite(L_new))
+        m_new = jnp.where(ok, m_new.T, m)
+        L_new = jnp.where(ok, L_new, jnp.tril(L))
+        out.append((m_new, L_new))
     return out
 
 

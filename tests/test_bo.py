@@ -1,0 +1,152 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dgp_tpu.bo import de
+from dgp_tpu.bo.acquisition import EI, EV, PoF, WB2, EV_one_constraint
+from dgp_tpu.bo.doe import lhs
+from dgp_tpu.bo.so_bo import SO_BO
+from dgp_tpu.models.gpr import GPR
+from dgp_tpu.ops import kernels as K
+
+
+def test_de_minimizes_shifted_sphere():
+    target = jnp.asarray([1.3, -0.7, 0.4])
+
+    def fn(x):  # [P, 3] -> [P]
+        return jnp.sum((x - target) ** 2, axis=1)
+
+    res = de.minimize(fn, jnp.zeros(3), jax.random.PRNGKey(0),
+                      population_size=60, max_iterations=150)
+    np.testing.assert_allclose(np.asarray(res.position), np.asarray(target),
+                               atol=1e-3)
+
+
+def test_adam_refine_polishes():
+    target = jnp.asarray([0.5, -0.25])
+
+    def fn(x):
+        return jnp.sum((x - target) ** 2, axis=1)
+
+    v, obj = de.adam_refine(fn, jnp.zeros(2), iterations=800, lr=0.05)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(target), atol=1e-3)
+
+
+def test_lhs_stratification():
+    X = lhs(3, 20, seed=0)
+    assert X.shape == (20, 3)
+    for j in range(3):
+        counts, _ = np.histogram(X[:, j], bins=20, range=(0, 1))
+        assert np.all(counts == 1)
+
+
+@pytest.fixture(scope="module")
+def gpr_model():
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0, 1, (25, 1))
+    Y = (X - 0.5) ** 2 + 0.001 * rng.normal(size=X.shape)
+    m = GPR((X, Y), K.RBF.create(lengthscales=[0.3], variance=0.1),
+            noise_variance=1e-4)
+    m.optimize_adam(iterations=300, lr=0.02)
+    return m
+
+
+def test_ei_analytic_matches_mc(gpr_model):
+    """Analytic EI must agree with a direct Monte-Carlo estimate of
+    E[max(y_min - Y, 0)] under the predictive Gaussian."""
+    x = jnp.asarray([[0.3], [0.5], [0.9]])
+    y_min = 0.05
+    ei = EI(y_min, 1)
+    analytic = -np.asarray(ei.run(gpr_model, x))
+    mean, var = gpr_model.predict_y(x)
+    rng = np.random.default_rng(1)
+    samples = np.asarray(mean)[None] + np.sqrt(np.asarray(var))[None] * \
+        rng.normal(size=(200000,) + mean.shape)
+    mc = np.maximum(y_min - samples, 0).mean(axis=0)
+    np.testing.assert_allclose(analytic, mc, rtol=0.05, atol=1e-4)
+
+
+def test_ev_analytic_matches_mc(gpr_model):
+    x = jnp.asarray([[0.2], [0.6]])
+    zero_c = 0.08
+    ev = EV_one_constraint(zero_c, 1)
+    analytic = np.asarray(ev.run(gpr_model, x, analytic=True))
+    mean, var = gpr_model.predict_y(x)
+    rng = np.random.default_rng(2)
+    samples = np.asarray(mean)[None] + np.sqrt(np.asarray(var))[None] * \
+        rng.normal(size=(200000,) + mean.shape)
+    mc = np.maximum(samples - zero_c, 0).mean(axis=0)
+    np.testing.assert_allclose(analytic, mc, rtol=0.05, atol=1e-4)
+
+
+def test_pof_is_probability(gpr_model):
+    x = jnp.asarray([[0.1], [0.5], [0.95]])
+    pof = PoF(np.asarray([0.05]), 1)
+    p = np.asarray(pof.run([gpr_model], x))
+    assert np.all(p >= 0) and np.all(p <= 1)
+    mean, var = gpr_model.predict_y(x)
+    from scipy.stats import norm as snorm
+
+    expected = snorm.cdf((0.05 - np.asarray(mean)) / np.sqrt(np.asarray(var)))
+    np.testing.assert_allclose(p, expected, rtol=1e-6)
+
+
+def test_ei_optimize_finds_minimum_region(gpr_model):
+    """The surrogate models (x-0.5)^2; EI with a mediocre y_min should pick a
+    point near the true minimum x=0.5."""
+    ei = EI(0.02, 1)
+    x_opt = ei.optimize(gpr_model, (np.zeros(1), np.ones(1)), popsize_DE=50,
+                        iterations_DE=60, method="DE",
+                        key=jax.random.PRNGKey(0))
+    assert x_opt.shape == (1, 1)
+    assert abs(float(x_opt[0, 0]) - 0.5) < 0.15
+
+
+def test_wb2_runs(gpr_model):
+    w = WB2(0.02, 1)
+    out = np.asarray(w.run(gpr_model, jnp.asarray([[0.4]])))
+    assert out.shape == (1, 1) and np.isfinite(out).all()
+
+
+class _ConstrainedProblem:
+    """nb_dgp_BO cell 5: min (x-0.5)^2 s.t. step(x-0.25) <= 0."""
+
+    def __init__(self):
+        self.constraint = True
+        self.dim = 1
+
+    def fun(self, x):
+        return [(x - 0.5) ** 2, np.where(x > 0.25, 1.0, 0.0)]
+
+
+def test_so_bo_end_to_end_gpr():
+    """Shortened nb_dgp_BO: GPR objective + GPR constraint, EV handling.
+    The optimum is x=0.25, f=0.0625 (published Ymin reaches 0.06256/0.06888)."""
+    problem = _ConstrainedProblem()
+    spec = {"num_layers": 0, "kernels": "rbf"}
+    bo = SO_BO(problem=problem, DoE_size=6, model_Y_dic=spec,
+               model_C_dic=spec, seed=3)
+    bo.run(4, IC="EI", constraint_handling="EV", train_iterations=200,
+           popsize_DE=40, popstd_DE=3.0, iterations_DE=50, IC_method="DE",
+           verbose=False)
+    assert len(bo.Ymin) == 5
+    assert np.all(np.diff(bo.Ymin) <= 1e-12)  # monotone non-increasing
+    # every recorded Ymin is a feasible objective value
+    assert bo.Ymin[-1] >= 0.0625 - 1e-6
+    assert bo.Ymin[-1] < 0.2
+
+
+def test_so_bo_unconstrained_pof_branch():
+    class Unconstrained:
+        constraint = False
+        dim = 1
+
+        def fun(self, x):
+            return [(x - 0.3) ** 2]
+
+    spec = {"num_layers": 0, "kernels": "matern52"}
+    bo = SO_BO(problem=Unconstrained(), DoE_size=5, model_Y_dic=spec, seed=0)
+    bo.run(2, IC="EI", train_iterations=150, popsize_DE=30, iterations_DE=40,
+           IC_method="DE", verbose=False)
+    assert bo.Ymin[-1] <= bo.Ymin[0] + 1e-12

@@ -1,0 +1,119 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dgp_tpu.bo.ehvi import EHVI, HV_calcul, NDC, Y_ND, psi, optimize_EHVI
+
+
+def staircase_hv(points, ref):
+    """Exact 2-D dominated hypervolume (minimization) of an arbitrary point
+    set w.r.t. the upper reference corner — handles dominated points."""
+    pts = sorted(p for p in points if p[0] <= ref[0] and p[1] <= ref[1])
+    hv, prev_y2 = 0.0, ref[1]
+    for a, b in pts:
+        if b < prev_y2:
+            hv += (ref[0] - a) * (prev_y2 - b)
+            prev_y2 = b
+    return hv
+
+
+def test_hv_calcul_matches_staircase():
+    front = [(-1.0, 2.0), (0.0, 1.0), (1.5, -0.5)]
+    ref = (6.0, 3.0)
+    Y = [np.array([[a] for a, _ in front]), np.array([[b] for _, b in front])]
+    nd = [0, 1, 2]
+    got = HV_calcul(nd, Y, (-16.0, -11.0, ref[0], ref[1]))
+    np.testing.assert_allclose(got, staircase_hv(front, ref), rtol=1e-12)
+
+
+def test_ndc_nondominated_sort():
+    Y0 = np.array([[1.0], [2.0], [0.5], [3.0], [0.7]])
+    Y1 = np.array([[1.0], [0.2], [2.0], [3.0], [1.5]])
+    C = np.array([[-1.0], [-1.0], [-1.0], [-1.0], [1.0]])  # last infeasible
+    nd = NDC([Y0, Y1], C)
+    assert nd == [2, 0, 1]  # ascending obj1; point 3 dominated, 4 infeasible
+    assert NDC([Y0, Y1], C, obj1_ascending=False) == [1, 0, 2]
+    assert NDC([Y0, Y1], np.ones((5, 1))) == []
+
+
+def test_y_nd_padding():
+    Y0 = np.array([[1.0], [2.0]])
+    Y1 = np.array([[3.0], [1.0]])
+    padded = Y_ND([Y0, Y1], [1, 0], nadir=(10.0, 12.0), ideal=(-5.0, -6.0))
+    np.testing.assert_allclose(padded[0].ravel(), [10.0, 2.0, 1.0, -5.0])
+    np.testing.assert_allclose(padded[1].ravel(), [-6.0, 1.0, 3.0, 12.0])
+
+
+class _FakeGaussianModel:
+    """Deterministic stand-in: a 'DGP' whose last layer emits fixed moments."""
+
+    name = "dgp"
+
+    def __init__(self, means, varis):
+        self._means = np.asarray(means, dtype=float)
+        self._vars = np.asarray(varis, dtype=float)
+
+
+def test_ehvi_exact_matches_mc_hypervolume_improvement(monkeypatch):
+    """The exact 2-D staircase EHVI must equal the Monte-Carlo expected
+    hypervolume improvement of independent Gaussian objectives."""
+    front = [(2.0, -1.0), (0.0, 0.5), (-1.0, 2.0)]  # non-dominated
+    nadir = (6.0, 5.0)
+    ideal = (-8.0, -8.0)
+    # descending obj1 order for Y_ND (the reference feeds NDT)
+    ND_desc = [0, 1, 2]
+    Y0 = np.array([[a] for a, _ in front])
+    Y1 = np.array([[b] for _, b in front])
+    YND = Y_ND([Y0, Y1], ND_desc, nadir=nadir, ideal=ideal)
+
+    means = np.array([[0.5, 0.0], [-0.5, -0.5]])  # two candidates
+    varis = np.array([[0.6, 0.8], [0.3, 0.4]])
+
+    import dgp_tpu.bo.ehvi as ehvi_mod
+
+    def fake_moments(model_Y, Xcand, S, key, need_samples):
+        m0 = jnp.asarray(means[:, :1])
+        m1 = jnp.asarray(means[:, 1:])
+        v0 = jnp.asarray(varis[:, :1])
+        v1 = jnp.asarray(varis[:, 1:])
+        return m0, v0, m1, v1, None
+
+    monkeypatch.setattr(ehvi_mod, "_mo_moments_and_samples", fake_moments)
+    got = np.asarray(EHVI(None, np.zeros((2, 1)), YND, corr=False,
+                          approximation="None", S=10))
+
+    rng = np.random.default_rng(0)
+    base_hv = staircase_hv(front, nadir)
+    for c in range(2):
+        ys = means[c] + np.sqrt(varis[c]) * rng.normal(size=(400000, 2))
+        hvi = []
+        for y in ys[:80000]:
+            new_hv = staircase_hv(
+                [p for p in front] + [tuple(y)], nadir
+            ) if (y[0] <= nadir[0] and y[1] <= nadir[1]) else None
+            if new_hv is None:
+                hvi.append(0.0)
+            else:
+                hvi.append(max(new_hv - base_hv, 0.0))
+        mc = np.mean(hvi)
+        assert abs(got[c, 0] - mc) / max(mc, 1e-3) < 0.05, (got[c, 0], mc)
+
+
+def test_ehvi_staircase_hv_helper_consistency():
+    # the test helper itself: adding a dominated point changes nothing
+    front = [(0.0, 1.0), (1.0, 0.0)]
+    ref = (3.0, 3.0)
+    assert staircase_hv(front + [(2.0, 2.0)], ref) == pytest.approx(
+        staircase_hv(front, ref)
+    )
+
+
+def test_psi_definition():
+    from scipy.stats import norm as snorm
+
+    a, b, mu, sigma = 0.3, 0.7, 0.1, 1.2
+    expected = sigma * snorm.pdf((b - mu) / sigma) + (a - mu) * snorm.cdf(
+        (b - mu) / sigma
+    )
+    np.testing.assert_allclose(float(psi(a, b, mu, sigma)), expected, rtol=1e-7)

@@ -1,0 +1,76 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dgp_tpu.bo.doe import lhs
+from dgp_tpu.models import mf_dgp_em
+from dgp_tpu.models.mf_dgp_em import MultiFidelityDeepGP_EM
+from dgp_tpu.utils.test_functions import park_vd_high, park_vd_low
+
+
+def park_vd_data(n_low=30, n_high=6, seed=0):
+    """nb_mfdgpem setup: low fidelity 2-D, high fidelity 4-D; X_red = the
+    first two columns of the high-fidelity inputs (cell 8)."""
+    X = [lhs(2, n_low, seed=123), lhs(4, n_high, seed=seed)]
+    Y = [park_vd_low(X[0]), park_vd_high(X[1])]
+    X_red = [X[1][:, :2]]
+    return X, Y, X_red
+
+
+def test_construction_variant_dims():
+    X, Y, X_red = park_vd_data()
+    m = MultiFidelityDeepGP_EM(X, Y, X_red, num_samples=5)
+    assert len(m.params.layers) == 2
+    assert len(m.params.layers_red) == 1
+    red = m.params.layers_red[0]
+    assert red.z.shape == (6, 4)          # W default = X[-1]
+    assert red.q_mu.shape == (6, 2)       # maps 4-D -> 2-D
+    l1 = m.params.layers[1]
+    assert l1.z_left.shape == (6, 4)
+    assert l1.q_sqrt.shape == (1, 6, 6)
+    zs = mf_dgp_em.compute_full_zs_em(m.params, jax.random.PRNGKey(0))
+    assert zs[0].shape == (30, 2)
+    assert zs[1].shape == (6, 5)          # [z_left(4), z_right(1)]
+
+
+def test_propagate_and_project_shapes():
+    X, Y, X_red = park_vd_data()
+    m = MultiFidelityDeepGP_EM(X, Y, X_red, num_samples=5)
+    # high-fidelity prediction consumes 4-D inputs
+    Fs, Fms, Fvs = m.propagate(X[1], S=3)
+    assert len(Fs) == 2 and Fs[-1].shape == (3, 6, 1)
+    # low-fidelity prediction consumes 2-D inputs directly (fidelity_dim=0)
+    Fm, Fv = m.predict_f(X[0], S=3, fidelity=0, fidelity_dim=0)
+    assert Fm.shape == (3, 30, 1)
+    # projection posterior of high-fidelity inputs into the 2-D space
+    Hm, Hv = m.project(X[1], S=4, fidelity=0, fidelity_dim=1)
+    assert Hm.shape == (4, 6, 2)
+    mean, var = m.predict(X[1])
+    assert mean.shape == (6, 1) and np.all(np.isfinite(mean))
+
+
+def test_elbo_finite_with_projection_term_and_gradients():
+    X, Y, X_red = park_vd_data()
+    m = MultiFidelityDeepGP_EM(X, Y, X_red, num_samples=5)
+    Xs, Ys = tuple(m._X), tuple(m._Y)
+    Xr = tuple(m._X_red)
+    key = jax.random.PRNGKey(0)
+    val = float(mf_dgp_em.elbo(m.params, Xs, Ys, Xr, key, 5))
+    assert np.isfinite(val)
+    g = jax.grad(lambda p: mf_dgp_em.elbo(p, Xs, Ys, Xr, key, 5))(m.params)
+    assert np.any(np.asarray(g.layers[1].z_left) != 0)
+    assert np.any(np.asarray(g.layers_red[0].q_mu) != 0)
+    # projection likelihood variance receives gradient from L_red
+    assert np.asarray(g.likelihood_projection.variance_raw) != 0
+
+
+def test_em_short_training_runs_and_improves():
+    X, Y, X_red = park_vd_data()
+    m = MultiFidelityDeepGP_EM(X, Y, X_red, num_samples=5)
+    m._init_variational()
+    before = float(m.objective())
+    m.optimize_nat_adam(lr_adam=0.01, lr_gamma=0.01, iterations1=0,
+                        iterations2=120, iterations3=80, messages=0)
+    after = float(m.objective())
+    assert np.isfinite(after)
+    assert after > before

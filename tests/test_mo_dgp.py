@@ -1,0 +1,107 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dgp_tpu.bo.doe import lhs
+from dgp_tpu.bo.ehvi import EHVI, NDC, Y_ND, optimize_EHVI
+from dgp_tpu.bo.problems import multi_obj_1D_4
+from dgp_tpu.models import mo_dgp
+from dgp_tpu.models.mo_dgp import MultiObjDeepGP
+
+
+def mo_data(n=10, seed=0):
+    """nb_modgp setup: multi_obj_1D_4 DoE, normalized."""
+    problem = multi_obj_1D_4()
+    X_ = lhs(problem.dim, n, seed=seed)
+    Y0 = np.zeros((n, 1))
+    Y1 = np.zeros((n, 1))
+    for i in range(n):
+        f = problem.fun(X_[i])
+        Y0[i], Y1[i] = f[0], f[1]
+    X = (X_ - X_.mean(0)) / X_.std(0)
+    Y0n = (Y0 - Y0.mean(0)) / Y0.std(0)
+    Y1n = (Y1 - Y1.mean(0)) / Y1.std(0)
+    return [X, X.copy()], [Y0n, Y1n], problem
+
+
+def test_construction_and_propagate_shapes():
+    X, Y, _ = mo_data()
+    m = MultiObjDeepGP(X, Y, loop=2)
+    assert len(m.params.layers) == 2
+    # Z[0] = [X, Y_2] (MO_DGP.py:509-511)
+    assert m.params.layers[0].z.shape == (10, 2)
+    assert m.params.layers[1].z_left.shape == (10, 1)
+    Fs, Fms, Fvs = m.propagate(X[0], S=4)
+    assert len(Fs) == 2  # exactly (objective 0, objective 1)
+    assert Fs[0].shape == (4, 10, 1) and Fs[1].shape == (4, 10, 1)
+
+
+def test_elbo_finite_and_loop_matters():
+    X, Y, _ = mo_data()
+    m = MultiObjDeepGP(X, Y, loop=2)
+    Xs, Ys = tuple(m._X), tuple(m._Y)
+    key = jax.random.PRNGKey(0)
+    e2 = float(mo_dgp.elbo(m.params, Xs, Ys, key, 5, loop=2))
+    e0 = float(mo_dgp.elbo(m.params, Xs, Ys, key, 5, loop=0))
+    assert np.isfinite(e2) and np.isfinite(e0)
+    assert e2 != e0
+
+
+def test_short_training_improves_elbo():
+    X, Y, _ = mo_data()
+    m = MultiObjDeepGP(X, Y, loop=2, num_samples=5)
+    before = float(m.objective())
+    m.optimize_nat_adam(lr_adam=0.01, lr_gamma=0.01, iterations1=150,
+                        iterations2=50, iterations3=50, messages=0)
+    after = float(m.objective())
+    assert np.isfinite(after)
+    assert after > before
+
+
+def test_ehvi_on_mo_dgp_and_dgp_list():
+    X, Y, problem = mo_data()
+    m = MultiObjDeepGP(X, Y, loop=2, num_samples=5)
+    C = -np.ones((10, 1))
+    NDT = NDC([np.asarray(Y[0]), np.asarray(Y[1])], C, obj1_ascending=False)
+    YND = Y_ND([np.asarray(Y[0]), np.asarray(Y[1])], NDT,
+               nadir=(4.0, 4.0), ideal=(-4.0, -4.0))
+    Xcand = np.array([[0.0], [0.5]])
+    vals = np.asarray(EHVI(m, Xcand, YND, corr=False, approximation="None",
+                           S=50, key=jax.random.PRNGKey(0)))
+    assert vals.shape == (2, 1) and np.all(np.isfinite(vals)) and np.all(vals >= 0)
+
+    kde = np.asarray(EHVI(m, Xcand, YND, corr=False, approximation="KDE",
+                          S=64, key=jax.random.PRNGKey(0)))
+    assert kde.shape == (2, 1) and np.all(np.isfinite(kde))
+
+    gauss = np.asarray(EHVI(m, Xcand, YND, corr=True, approximation="Gaussian",
+                            S=64, key=jax.random.PRNGKey(0)))
+    assert gauss.shape == (2, 1) and np.all(np.isfinite(gauss))
+
+    # list-of-two-DGPs form
+    from dgp_tpu.models.dgp import DGP
+    from dgp_tpu.ops import kernels as K
+
+    models = [
+        DGP(X[0], Y[i], X[0][:5].copy(),
+            [K.RBF.create(lengthscales=[1.0]) for _ in range(2)], [1],
+            num_samples=3)
+        for i in range(2)
+    ]
+    vals2 = np.asarray(EHVI(models, Xcand, YND, corr=False,
+                            approximation="None", S=30,
+                            key=jax.random.PRNGKey(1)))
+    assert vals2.shape == (2, 1) and np.all(np.isfinite(vals2))
+
+
+def test_optimize_ehvi_smoke():
+    X, Y, _ = mo_data()
+    m = MultiObjDeepGP(X, Y, loop=2, num_samples=3)
+    C = -np.ones((10, 1))
+    NDT = NDC([np.asarray(Y[0]), np.asarray(Y[1])], C, obj1_ascending=False)
+    YND = Y_ND([np.asarray(Y[0]), np.asarray(Y[1])], NDT,
+               nadir=(4.0, 4.0), ideal=(-4.0, -4.0))
+    x_opt = optimize_EHVI(m, YND, popsize_DE=20, iterations_DE=10, S=20,
+                          method="DE", key=jax.random.PRNGKey(0))
+    assert x_opt.shape == (1, 1)
+    assert 0.0 <= float(x_opt[0, 0]) <= 1.0
