@@ -57,8 +57,9 @@ def set_use_pallas(value) -> None:
 def use_pallas() -> bool:
     v = _STATE["use_pallas"]
     if v == "auto":
-        try:
-            return jax.default_backend() == "tpu"
-        except Exception:  # pragma: no cover - backend probing never fails in CI
-            return False
+        # conservative default: the fused kernel is opt-in
+        # (set_use_pallas(True)) until its compile cost on the attached
+        # runtime is known to be acceptable; the solve path is already
+        # MXU-dominated.
+        return False
     return bool(v)

