@@ -17,6 +17,22 @@ import time
 
 import numpy as np
 
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: first compile over the TPU tunnel
+    takes minutes; subsequent bench runs hit the cache."""
+    try:
+        import jax
+
+        cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()
+
 N, M, DIN, HIDDEN, S = 10_000, 128, 8, 8, 10
 WARMUP, STEPS = 3, 30
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")

@@ -7,7 +7,10 @@ at x = 0.25. Published: Ymin 0.17355 -> 0.06256 after 13 infills with a
 fresh LHS DoE of 5, 13 infills reach Ymin <= 0.07.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

@@ -7,7 +7,10 @@ distributional: r2 >= 0.95 on a fresh LHS). Pass --fast for a shortened
 schedule asserting r2 >= 0.85.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

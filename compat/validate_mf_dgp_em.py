@@ -6,7 +6,10 @@ replayable, so the assertion is distributional: r2 >= 0.8). Pass --fast for a
 shortened schedule asserting r2 >= 0.5.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

@@ -7,7 +7,10 @@ notebook: iterations 200/0/0); exact EHVI at the notebook's candidate points
 is finite and nonnegative; optimize_EHVI returns an in-box point.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
@@ -47,12 +50,15 @@ def main(fast=False):
     assert hv > 0
 
     model = MultiObjDeepGP([X, X.copy()], [Y0, Y1], loop=2, num_samples=10)
-    before = float(model.objective())
-    model.optimize_nat_adam(lr_adam=0.01, lr_gamma=0.01, iterations1=200,
-                            iterations2=0, iterations3=0, messages=100)
-    after = float(model.objective())
-    print(f"ELBO: {before:.4g} -> {after:.4g} (published init -1.744e8)")
-    assert np.isfinite(after) and after > before
+    losses = np.asarray(model.optimize_nat_adam(
+        lr_adam=0.01, lr_gamma=0.01, iterations1=200, iterations2=0,
+        iterations3=0, messages=100,
+    ))
+    print(f"ELBO: {-losses[0]:.4g} -> {-np.mean(losses[-20:]):.4g} "
+          "(published init -1.744e8 on its own DoE)")
+    assert np.all(np.isfinite(losses))
+    # single-MC-sample losses are noisy; compare window means
+    assert np.mean(losses[-20:]) < np.mean(losses[:20])
 
     bounds = problem.bounds
     nadir = (float((bounds[2] - Y0_.mean()) / Y0_.std()),

@@ -270,6 +270,10 @@ class MultiFidelityDeepGP:
         X = jnp.asarray(X, dtype=default_float())
         return propagate(self.params, X, self._next_key(), S, full_cov=full_cov)
 
+    def predict_all_layers(self, Xnew, num_samples):
+        """All per-layer samples/means/vars (MF_DGP.py:234-235)."""
+        return self.propagate(Xnew, full_cov=False, S=num_samples)
+
     def predict_f(self, X, full_cov=False, S=1, fidelity=None):
         X = jnp.asarray(X, dtype=default_float())
         return predict_f(self.params, X, self._next_key(), S, fidelity,
@@ -325,15 +329,18 @@ class MultiFidelityDeepGP:
         """3-phase Adam (MF_DGP.py:345-424); phase 3 unfreezes q + likelihood
         for Adam instead of natural gradients."""
         self._init_variational(q_sqrt_scale)
+        traces = []
         loss_fn = self._loss_fn()
         m1, m2, _ = self._phase_masks()
         m3 = training.make_mask(self.params)  # everything (but means)
         for steps, mask in ((iterations1, m1), (iterations2, m2),
                             (iterations3, m3)):
-            self.params, _ = training.adam_run(
+            self.params, _ls = training.adam_run(
                 loss_fn, self.params, mask, self._next_key(), steps=steps,
                 lr=lr, b1=beta_1, b2=beta_2, eps=epsilon, messages=messages,
             )
+        traces.append(_ls)
+        return jnp.concatenate([jnp.ravel(t) for t in traces]) if traces else jnp.zeros((0,))
 
     def optimize_nat_adam(self, lr_adam=0.01, lr_gamma=0.01, iterations1=2000,
                           iterations2=5000, iterations3=7500, beta_1=0.9,
@@ -343,19 +350,22 @@ class MultiFidelityDeepGP:
         from .dgp import get_qs, set_qs
 
         self._init_variational(q_sqrt_scale)
+        traces = []
         loss_fn = self._loss_fn()
         m1, m2, m3 = self._phase_masks()
-        self.params, _ = training.adam_run(
+        self.params, _ls = training.adam_run(
             loss_fn, self.params, m1, self._next_key(), steps=iterations1,
             lr=lr_adam, b1=beta_1, b2=beta_2, eps=epsilon, messages=messages,
         )
-        self.params, _ = training.adam_run(
+        traces.append(_ls)
+        self.params, _ls = training.adam_run(
             loss_fn, self.params, m2, self._next_key(), steps=iterations2,
             lr=lr_adam, b1=beta_1, b2=beta_2, eps=epsilon, messages=messages,
         )
+        traces.append(_ls)
         # phase 3: likelihood variance unfrozen; NatGrad on all layers' q
         sel = list(range(len(self.params.layers)))
-        self.params, _ = training.nat_adam_run(
+        self.params, _ls = training.nat_adam_run(
             loss_fn, self.params, m3,
             get_qs=lambda p: get_qs(p, sel),
             set_qs=lambda p, qs: set_qs(p, sel, qs),
@@ -363,6 +373,8 @@ class MultiFidelityDeepGP:
             gamma=lr_gamma, b1=beta_1, b2=beta_2, eps=epsilon,
             messages=messages,
         )
+        traces.append(_ls)
+        return jnp.concatenate([jnp.ravel(t) for t in traces]) if traces else jnp.zeros((0,))
 
     @staticmethod
     def _make_inducing_points(X: List, Y: List) -> List:

@@ -338,6 +338,10 @@ class MultiFidelityDeepGP_EM:
                          fidelity_dim=fidelity_dim, project=project,
                          full_cov=full_cov)
 
+    def predict_all_layers(self, Xnew, num_samples):
+        """All per-layer samples/means/vars (MF_DGP.py:234-235)."""
+        return self.propagate(Xnew, full_cov=False, S=num_samples)
+
     def predict_f(self, X, full_cov=False, S=1, fidelity=None,
                   fidelity_dim=None):
         X = jnp.asarray(X, dtype=default_float())
@@ -394,6 +398,7 @@ class MultiFidelityDeepGP_EM:
         """3-phase training (MF_DGP_EM.py:501-578): phase 3 runs natural
         gradients over both the fidelity and the reduction layers' q."""
         self._init_variational()
+        traces = []
         loss_fn = self._loss_fn()
         q = {"q_mu", "q_sqrt"}
         lik = {"likelihood", "likelihood_projection"}
@@ -410,14 +415,16 @@ class MultiFidelityDeepGP_EM:
                                  ("layers_red", "all"): q},
         )
         m3 = m2  # likelihood variances stay frozen (MF_DGP_EM.py:562)
-        self.params, _ = training.adam_run(
+        self.params, _ls = training.adam_run(
             loss_fn, self.params, m1, self._next_key(), steps=iterations1,
             lr=lr_adam, b1=beta_1, b2=beta_2, eps=epsilon, messages=messages,
         )
-        self.params, _ = training.adam_run(
+        traces.append(_ls)
+        self.params, _ls = training.adam_run(
             loss_fn, self.params, m2, self._next_key(), steps=iterations2,
             lr=lr_adam, b1=beta_1, b2=beta_2, eps=epsilon, messages=messages,
         )
+        traces.append(_ls)
 
         n_fid = len(self.params.layers)
         n_red = len(self.params.layers_red)
@@ -438,12 +445,14 @@ class MultiFidelityDeepGP_EM:
                 layers_red[i] = layers_red[i].replace(q_mu=q_mu, q_sqrt=q_sqrt)
             return p.replace(layers=tuple(layers), layers_red=tuple(layers_red))
 
-        self.params, _ = training.nat_adam_run(
+        self.params, _ls = training.nat_adam_run(
             loss_fn, self.params, m3, get_qs=get_qs, set_qs=set_qs,
             key=self._next_key(), steps=iterations3, lr_adam=lr_adam,
             gamma=lr_gamma, b1=beta_1, b2=beta_2, eps=epsilon,
             messages=messages,
         )
+        traces.append(_ls)
+        return jnp.concatenate([jnp.ravel(t) for t in traces]) if traces else jnp.zeros((0,))
 
     def optimize_adam(self, lr=0.01, iterations1=2000, iterations2=5000,
                       iterations3=7500, beta_1=0.9, beta_2=0.999, epsilon=1e-7,
@@ -451,6 +460,7 @@ class MultiFidelityDeepGP_EM:
         """3-phase plain Adam (MF_DGP_EM.py:429-499): phase 3 unfreezes the
         fidelity q and the model likelihood."""
         self._init_variational(q_scale_fid=1e-2, q_scale_red=1e-2)
+        traces = []
         loss_fn = self._loss_fn()
         q = {"q_mu", "q_sqrt"}
         lik = {"likelihood", "likelihood_projection"}
@@ -470,10 +480,12 @@ class MultiFidelityDeepGP_EM:
         )
         for steps, mask in ((iterations1, m1), (iterations2, m2),
                             (iterations3, m3)):
-            self.params, _ = training.adam_run(
+            self.params, _ls = training.adam_run(
                 loss_fn, self.params, mask, self._next_key(), steps=steps,
                 lr=lr, b1=beta_1, b2=beta_2, eps=epsilon, messages=messages,
             )
+        traces.append(_ls)
+        return jnp.concatenate([jnp.ravel(t) for t in traces]) if traces else jnp.zeros((0,))
 
     @staticmethod
     def _make_inducing_points(X: List, Y: List) -> List:

@@ -191,6 +191,10 @@ class MultiObjDeepGP:
         return propagate(self.params, X, self._next_key(), S, loop=self.loop,
                          full_cov=full_cov)
 
+    def predict_all_layers(self, Xnew, num_samples):
+        """All per-layer samples/means/vars (MF_DGP.py:234-235)."""
+        return self.propagate(Xnew, full_cov=False, S=num_samples)
+
     def predict_f(self, X, full_cov=False, S=1, objective=None):
         X = jnp.asarray(X, dtype=default_float())
         return predict_f(self.params, X, self._next_key(), S, objective,
@@ -227,6 +231,7 @@ class MultiObjDeepGP:
         from .dgp import get_qs, set_qs
 
         self._init_variational(q_sqrt_scale)
+        traces = []
         loss_fn = self._loss_fn()
         q = {"q_mu", "q_sqrt"}
         m1 = training.make_mask(self.params,
@@ -235,27 +240,32 @@ class MultiObjDeepGP:
         m2 = training.make_mask(self.params, frozen_fields={"likelihood"},
                                 frozen_layer_fields={"all": q})
         m3 = training.make_mask(self.params, frozen_layer_fields={"all": q})
-        self.params, _ = training.adam_run(
+        self.params, _ls = training.adam_run(
             loss_fn, self.params, m1, self._next_key(), steps=iterations1,
             lr=lr_adam, messages=messages,
         )
-        self.params, _ = training.adam_run(
+        traces.append(_ls)
+        self.params, _ls = training.adam_run(
             loss_fn, self.params, m2, self._next_key(), steps=iterations2,
             lr=lr_adam, messages=messages,
         )
+        traces.append(_ls)
         sel = list(range(len(self.params.layers)))
-        self.params, _ = training.nat_adam_run(
+        self.params, _ls = training.nat_adam_run(
             loss_fn, self.params, m3,
             get_qs=lambda p: get_qs(p, sel),
             set_qs=lambda p, qs: set_qs(p, sel, qs),
             key=self._next_key(), steps=iterations3, lr_adam=lr_adam,
             gamma=lr_gamma, messages=messages,
         )
+        traces.append(_ls)
+        return jnp.concatenate([jnp.ravel(t) for t in traces]) if traces else jnp.zeros((0,))
 
     def optimize_adam(self, lr=0.01, iterations1=2000, iterations2=5000,
                       iterations3=7500, messages=500, q_sqrt_scale=1e-5):
         """3-phase plain-Adam variant (MO_DGP.py:345-417)."""
         self._init_variational(q_sqrt_scale)
+        traces = []
         loss_fn = self._loss_fn()
         q = {"q_mu", "q_sqrt"}
         m1 = training.make_mask(self.params,
@@ -266,10 +276,12 @@ class MultiObjDeepGP:
         m3 = training.make_mask(self.params)
         for steps, mask in ((iterations1, m1), (iterations2, m2),
                             (iterations3, m3)):
-            self.params, _ = training.adam_run(
+            self.params, _ls = training.adam_run(
                 loss_fn, self.params, mask, self._next_key(), steps=steps,
                 lr=lr, messages=messages,
             )
+        traces.append(_ls)
+        return jnp.concatenate([jnp.ravel(t) for t in traces]) if traces else jnp.zeros((0,))
 
     @staticmethod
     def _make_inducing_points(X: List, Y: List) -> List:

@@ -108,6 +108,11 @@ def masked_adam(mask, lr, b1=0.9, b2=0.999, eps=1e-7):
     )
 
 
+def _grad_norm(grads):
+    leaves = [jnp.sum(g**2) for g in jax.tree_util.tree_leaves(grads)]
+    return jnp.sqrt(sum(leaves))
+
+
 def adam_run(
     loss_fn,
     params,
@@ -120,14 +125,20 @@ def adam_run(
     eps=1e-7,
     messages: int = 0,
     label: str = "ELBO",
+    metrics_fn=None,
 ):
     """Run ``steps`` Adam iterations of ``loss_fn(params, key) -> scalar``.
 
-    Returns (params, losses [steps]). One jitted lax.scan — the TPU-native
-    equivalent of the eager loop at dgp.py:147-154.
+    Returns (params, losses [steps]) — or (params, metrics-dict) when
+    ``metrics_fn(params) -> dict`` is given; the dict then carries per-step
+    arrays for 'loss', 'grad_norm' and every metrics_fn entry (the structured
+    replacement for the reference's print-only logging, dgp.py:153-154).
+    One jitted lax.scan — the TPU-native equivalent of the eager loop at
+    dgp.py:147-154.
     """
     if steps <= 0:
-        return params, jnp.zeros((0,))
+        empty = jnp.zeros((0,))
+        return params, ({"loss": empty} if metrics_fn else empty)
     opt = masked_adam(mask, lr, b1, b2, eps)
 
     @jax.jit
@@ -146,12 +157,17 @@ def adam_run(
                     lambda: jax.debug.print(label + ": {v}", v=-loss),
                     lambda: None,
                 )
-            return (params, opt_state, key), loss
+            if metrics_fn is None:
+                out = loss
+            else:
+                out = {"loss": loss, "grad_norm": _grad_norm(grads)}
+                out.update(metrics_fn(params))
+            return (params, opt_state, key), out
 
-        (params, _, _), losses = jax.lax.scan(
+        (params, _, _), trace = jax.lax.scan(
             step, (params, opt_state, key), jnp.arange(steps)
         )
-        return params, losses
+        return params, trace
 
     return run(params, key)
 

@@ -21,6 +21,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import jax.scipy.linalg as jsl
 
 from ..config import default_jitter
 from .linalg import safe_cholesky, tri_solve
@@ -32,20 +33,28 @@ class SVGPProjection(NamedTuple):
     Lu: jnp.ndarray        # [M, M] lower Cholesky of Kuu + jitter I
     Kuu: jnp.ndarray       # [M, M] (jittered)
     SK: jnp.ndarray        # [D, M, M] = q_sqrt q_sqrt^T - (Kuu or I)
+    Pinv: jnp.ndarray      # [M, M] projector: Lu^{-1} (white) or Kuu^{-1}
 
 
 def precompute_projection(kernel, Z, q_sqrt, white: bool, jitter=None) -> SVGPProjection:
     jitter = default_jitter() if jitter is None else jitter
-    Kuu = kernel.K(Z) + jitter * jnp.eye(Z.shape[0], dtype=Z.dtype)
+    M = Z.shape[0]
+    Kuu = kernel.K(Z) + jitter * jnp.eye(M, dtype=Z.dtype)
     Lu = jnp.linalg.cholesky(Kuu)
     q_sqrt = jnp.tril(q_sqrt)
     S = jnp.matmul(q_sqrt, jnp.swapaxes(q_sqrt, -1, -2),
                    precision=jax.lax.Precision.HIGHEST)  # [D, M, M]
+    eye = jnp.eye(M, dtype=Kuu.dtype)
     if white:
-        SK = S - jnp.eye(Kuu.shape[0], dtype=Kuu.dtype)[None]
+        SK = S - eye[None]
+        # A = Lu^{-1} Kuf computed as (one tiny M x M solve) @ Kuf: XLA's
+        # triangular_solve against a wide [M, S*N] RHS is far off the MXU
+        # roofline on TPU, an inverse-multiply is a single big matmul.
+        Pinv = jsl.solve_triangular(Lu, eye, lower=True)
     else:
         SK = S - Kuu[None]
-    return SVGPProjection(Lu=Lu, Kuu=Kuu, SK=SK)
+        Pinv = jsl.cho_solve((Lu, True), eye)  # Kuu^{-1}
+    return SVGPProjection(Lu=Lu, Kuu=Kuu, SK=SK, Pinv=Pinv)
 
 
 def _pallas_applicable(kernel) -> bool:
@@ -103,9 +112,9 @@ def conditional_diag(kernel, Z, q_mu, q_sqrt, X, *, white: bool, jitter=None,
         return mean, var
     hi = jax.lax.Precision.HIGHEST
     Kuf = kernel.K(Z, X)                       # [M, n]
-    A = tri_solve(proj.Lu, Kuf, lower=True)    # Lu^{-1} Kuf
-    if not white:
-        A = tri_solve(proj.Lu.T, A, lower=False)  # Kuu^{-1} Kuf
+    # A = Lu^{-1} Kuf (white) or Kuu^{-1} Kuf: MXU matmul against the
+    # precomputed projector instead of a wide triangular solve.
+    A = jnp.matmul(proj.Pinv, Kuf, precision=hi)
     mean = jnp.matmul(A.T, q_mu, precision=hi)  # [n, D]
     B = jnp.matmul(proj.SK, A[None], precision=hi)  # [D, M, n] batched MXU
     delta = jnp.sum(A[None] * B, axis=1)       # [D, n]
@@ -125,9 +134,7 @@ def conditional_full(kernel, Z, q_mu, q_sqrt, X, *, white: bool, jitter=None,
         proj = precompute_projection(kernel, Z, q_sqrt, white, jitter)
     hi = jax.lax.Precision.HIGHEST
     Kuf = kernel.K(Z, X)
-    A = tri_solve(proj.Lu, Kuf, lower=True)
-    if not white:
-        A = tri_solve(proj.Lu.T, A, lower=False)
+    A = jnp.matmul(proj.Pinv, Kuf, precision=hi)
     mean = jnp.matmul(A.T, q_mu, precision=hi)
     B = jnp.matmul(proj.SK, A[None], precision=hi)            # [D, M, n]
     delta = jnp.matmul(jnp.swapaxes(A[None], -1, -2), B, precision=hi)

@@ -50,12 +50,13 @@ def test_elbo_finite_and_loop_matters():
 def test_short_training_improves_elbo():
     X, Y, _ = mo_data()
     m = MultiObjDeepGP(X, Y, loop=2, num_samples=5)
-    before = float(m.objective())
-    m.optimize_nat_adam(lr_adam=0.01, lr_gamma=0.01, iterations1=150,
-                        iterations2=50, iterations3=50, messages=0)
-    after = float(m.objective())
-    assert np.isfinite(after)
-    assert after > before
+    losses = np.asarray(m.optimize_nat_adam(
+        lr_adam=0.01, lr_gamma=0.01, iterations1=150, iterations2=50,
+        iterations3=50, messages=0,
+    ))
+    assert np.all(np.isfinite(losses))
+    # the per-step losses are MC-noisy; compare window means (loss = -ELBO)
+    assert np.mean(losses[-20:]) < np.mean(losses[:20])
 
 
 def test_ehvi_on_mo_dgp_and_dgp_list():

@@ -36,3 +36,37 @@ def test_summarize_tensor_stats(capsys):
     assert abs(stats["mean"] - 2.0) < 1e-12
     out = capsys.readouterr().out
     assert "shape" in out
+
+
+def test_training_metrics_trace():
+    """adam_run with metrics_fn returns per-step structured metrics."""
+    import jax
+    import jax.numpy as jnp
+
+    from dgp_tpu.layers.svgp import layer_kl
+    from dgp_tpu.models import training
+    from dgp_tpu.models.dgp import elbo
+
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0, 1, (20, 1))
+    Y = np.sin(5 * X)
+    model = DGP(X, Y, X[:5].copy(), [K.RBF.create(lengthscales=[1.0])], [],
+                num_samples=1)
+    Xj, Yj = model.data
+
+    def metrics(params):
+        return {
+            "kl_0": layer_kl(params.layers[0], params.layers[0].z),
+            "lik_var": params.likelihood.variance,
+        }
+
+    mask = training.make_mask(model.params)
+    params, trace = training.adam_run(
+        lambda p, k: -elbo(p, Xj, Yj, k, 1), model.params, mask,
+        jax.random.PRNGKey(0), steps=100, lr=0.01, metrics_fn=metrics,
+    )
+    assert set(trace) == {"loss", "grad_norm", "kl_0", "lik_var"}
+    for v in trace.values():
+        assert v.shape == (100,)
+        assert np.all(np.isfinite(np.asarray(v)))
+    assert np.min(np.asarray(trace["loss"])) < np.asarray(trace["loss"])[0]
