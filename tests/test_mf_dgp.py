@@ -79,3 +79,45 @@ def test_mf_dgp_learns_park():
     metrics = calculate_metrics(y_test, mean, var)
     assert np.isfinite(metrics["mnll"])
     assert metrics["r2"] > 0.7, metrics
+
+
+def test_three_fidelity_chain():
+    """Three fidelities exercise the deep augmented-Z path (z_right's
+    [points, zr] concat branch for j >= 1, MF_DGP.py:42-43) that two-fidelity
+    models never reach."""
+    rng = np.random.default_rng(7)
+    X = [rng.uniform(0, 1, (20, 2)), rng.uniform(0, 1, (10, 2)),
+         rng.uniform(0, 1, (5, 2))]
+    f = lambda x: np.sin(3 * x[:, :1]) + x[:, 1:]
+    Y = [f(X[0]) + 0.3, f(X[1]) + 0.1 * X[1][:, :1], f(X[2])]
+    m = MultiFidelityDeepGP(X, Y, num_samples=3)
+    assert len(m.params.layers) == 3
+    zs = mf_dgp.compute_full_zs(m.params.layers, jax.random.PRNGKey(0))
+    assert zs[0].shape == (20, 2)
+    assert zs[1].shape == (10, 3)
+    assert zs[2].shape == (5, 3)
+    Xs, Ys = tuple(m._X), tuple(m._Y)
+    key = jax.random.PRNGKey(1)
+    val = float(mf_dgp.elbo(m.params, Xs, Ys, key, 3))
+    assert np.isfinite(val)
+    g = jax.grad(lambda p: mf_dgp.elbo(p, Xs, Ys, key, 3))(m.params)
+    for i in (1, 2):
+        gz = np.asarray(g.layers[i].z_left)
+        assert np.all(np.isfinite(gz)) and np.any(gz != 0)
+    # middle-fidelity prediction
+    Fm, Fv = m.predict_f(X[2], S=3, fidelity=1)
+    assert Fm.shape == (3, 5, 1)
+    mean, var = m.predict(X[2])
+    assert mean.shape == (5, 1) and np.all(np.isfinite(mean))
+
+
+def test_full_cov_prediction_path():
+    """Model-level full-covariance prediction (the reference's
+    predict_y(..., full_cov=True) option, MF_DGP.py:238-240)."""
+    X, Y, x_test, _ = park_data(n_low=15, n_high=4)
+    m = MultiFidelityDeepGP(X, Y, num_samples=2)
+    ym, yv = m.predict_y(x_test[:6], num_samples=2, full_cov=True)
+    assert ym.shape == (2, 6, 1)
+    assert yv.shape == (2, 6, 6, 1)
+    d = np.diagonal(np.asarray(yv)[..., 0], axis1=1, axis2=2)
+    assert np.all(np.isfinite(d))
