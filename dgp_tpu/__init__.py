@@ -17,3 +17,25 @@ from .config import (
 )
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level exports (keeps `import dgp_tpu` light)."""
+    _exports = {
+        "DGP": ("dgp_tpu.models.dgp", "DGP"),
+        "GPR": ("dgp_tpu.models.gpr", "GPR"),
+        "MultiFidelityDeepGP": ("dgp_tpu.models.mf_dgp", "MultiFidelityDeepGP"),
+        "MultiFidelityDeepGP_EM": (
+            "dgp_tpu.models.mf_dgp_em", "MultiFidelityDeepGP_EM"),
+        "MultiObjDeepGP": ("dgp_tpu.models.mo_dgp", "MultiObjDeepGP"),
+        "SO_BO": ("dgp_tpu.bo.so_bo", "SO_BO"),
+        "kernels": ("dgp_tpu.ops.kernels", None),
+        "likelihoods": ("dgp_tpu.ops.likelihoods", None),
+    }
+    if name in _exports:
+        import importlib
+
+        module, attr = _exports[name]
+        mod = importlib.import_module(module)
+        return getattr(mod, attr) if attr else mod
+    raise AttributeError(f"module 'dgp_tpu' has no attribute {name!r}")

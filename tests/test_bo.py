@@ -150,3 +150,19 @@ def test_so_bo_unconstrained_pof_branch():
     bo.run(2, IC="EI", train_iterations=150, popsize_DE=30, iterations_DE=40,
            IC_method="DE", verbose=False)
     assert bo.Ymin[-1] <= bo.Ymin[0] + 1e-12
+
+
+def test_so_bo_with_dgp_surrogate():
+    """Exercises make_model's num_layers>=1 branch inside the BO loop (the
+    notebook's DGP constraint model, nb_dgp_BO cell 11) with tiny budgets."""
+    problem = _ConstrainedProblem()
+    spec_gp = {"num_layers": 0, "kernels": "rbf"}
+    spec_dgp = {"num_layers": 1, "num_units": 1, "kernels": "rbf",
+                "num_samples": 3}
+    bo = SO_BO(problem=problem, DoE_size=6, model_Y_dic=spec_gp,
+               model_C_dic=spec_dgp, seed=5)
+    assert bo.model_C[0].name == "dgp"
+    bo.run(1, IC="EI", constraint_handling="EV", train_iterations=40,
+           popsize_DE=20, iterations_DE=15, IC_method="DE", verbose=False)
+    assert len(bo.Ymin) == 2
+    assert np.isfinite(bo.Ymin[-1])
