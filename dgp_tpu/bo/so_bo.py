@@ -27,18 +27,26 @@ from .acquisition import EI, EV, WB2, WB2S, PoF
 from .doe import doe
 
 
+def _safe_std(a):
+    """Columnwise std with zero-variance columns mapped to 1 (a constant
+    column would make the reference's normalization divide by zero,
+    SO_BO.py:27-45)."""
+    sd = a.std(axis=0)
+    return np.where(sd == 0, 1.0, sd)
+
+
 def normalize(*args):
-    out = [(a - a.mean(axis=0)) / a.std(axis=0) for a in args]
+    out = [(a - a.mean(axis=0)) / _safe_std(a) for a in args]
     return out[0] if len(out) == 1 else out
 
 
 def normalize_X(X):
-    mu, sd = X.mean(axis=0), X.std(axis=0)
+    mu, sd = X.mean(axis=0), _safe_std(X)
     return (X - mu) / sd, (0 - mu) / sd, (1 - mu) / sd
 
 
 def normalize_C(C):
-    mu, sd = C.mean(axis=0), C.std(axis=0)
+    mu, sd = C.mean(axis=0), _safe_std(C)
     return (C - mu) / sd, (0 - mu) / sd
 
 
@@ -242,7 +250,7 @@ class SO_BO:
                 self._rebind_data()
                 self.train_models(train_iterations // 2, train_iterations // 2)
 
-            y_min_n = (self.Ymin[-1] - self.Y.mean(axis=0)) / self.Y.std(axis=0)
+            y_min_n = (self.Ymin[-1] - self.Y.mean(axis=0)) / _safe_std(self.Y)
             if IC == "EI":
                 self.IC = EI(y_min_n, self.d)
             elif IC == "WB2":

@@ -23,6 +23,7 @@ from ..layers.initializations import init_layers_linear
 from ..layers.svgp import SVGPLayer, layer_kl, sample_from_conditional
 from ..ops.likelihoods import Gaussian
 from . import training
+from ._jit import maybe_jit
 
 
 class DGPParams(struct.PyTreeNode):
@@ -80,6 +81,15 @@ def predict_density(params: DGPParams, X, Y, key, S: int):
     return jax.scipy.special.logsumexp(
         log_p - jnp.log(jnp.asarray(S, dtype=log_p.dtype)), axis=0
     )
+
+
+# jitted entry points for the stateful wrappers (shape-cached by jax.jit);
+# inference must not dispatch op-by-op in a serving loop
+_elbo_jit = maybe_jit(elbo, static_argnums=(4, 5))
+_propagate_jit = maybe_jit(propagate, static_argnums=(3, 4))
+_predict_f_jit = maybe_jit(predict_f, static_argnums=(3, 4))
+_predict_y_jit = maybe_jit(predict_y, static_argnums=(3,))
+_predict_density_jit = maybe_jit(predict_density, static_argnums=(4,))
 
 
 def moment_matched(y_means, y_vars):
@@ -183,24 +193,26 @@ class DGP:
     # -- reference API ----------------------------------------------------------
     def ELBO(self):
         X, Y = self.data
-        return elbo(self.params, X, Y, self._next_key(), self.num_samples)
+        return _elbo_jit(self.params, X, Y, self._next_key(), self.num_samples, None)
 
     def propagate(self, X, full_cov=False, S=1, zs=None):
         X = jnp.asarray(X, dtype=default_float())
-        return propagate(self.params, X, self._next_key(), S, full_cov, zs)
+        if zs is not None:
+            return propagate(self.params, X, self._next_key(), S, full_cov, zs)
+        return _propagate_jit(self.params, X, self._next_key(), S, full_cov)
 
     def predict_f(self, X, full_cov=False, S=1):
         X = jnp.asarray(X, dtype=default_float())
-        return predict_f(self.params, X, self._next_key(), S, full_cov)
+        return _predict_f_jit(self.params, X, self._next_key(), S, full_cov)
 
     def predict_y(self, Xnew, num_samples):
         Xnew = jnp.asarray(Xnew, dtype=default_float())
-        return predict_y(self.params, Xnew, self._next_key(), num_samples)
+        return _predict_y_jit(self.params, Xnew, self._next_key(), num_samples)
 
     def predict_density(self, Xnew, Ynew, num_samples):
         Xnew = jnp.asarray(Xnew, dtype=default_float())
         Ynew = jnp.asarray(Ynew, dtype=default_float())
-        return predict_density(self.params, Xnew, Ynew, self._next_key(), num_samples)
+        return _predict_density_jit(self.params, Xnew, Ynew, self._next_key(), num_samples)
 
     def predict(self, Xnew, num_samples):
         y_m, y_v = self.predict_y(Xnew, num_samples)

@@ -39,6 +39,7 @@ from ..layers.svgp import (
 from ..ops import kernels as K
 from ..ops.likelihoods import Gaussian, fidelity_variational_expectations
 from . import training
+from ._jit import maybe_jit
 from .dgp import moment_matched
 
 
@@ -168,6 +169,12 @@ def predict_y(params: MFDGPParams, X, key, S: int, full_cov=False):
     return params.likelihood.predict_mean_and_var(Fmean, Fvar)
 
 
+_elbo_jit = maybe_jit(elbo, static_argnums=(4, 5))
+_propagate_jit = maybe_jit(propagate, static_argnums=(3, 5, 6))
+_predict_f_jit = maybe_jit(predict_f, static_argnums=(3, 4, 5))
+_predict_y_jit = maybe_jit(predict_y, static_argnums=(3, 4))
+
+
 # -- construction ----------------------------------------------------------------
 
 
@@ -261,14 +268,14 @@ class MultiFidelityDeepGP:
         return loss
 
     def objective(self):
-        return elbo(self.params, tuple(self._X), tuple(self._Y),
-                    self._next_key(), self.num_samples)
+        return _elbo_jit(self.params, tuple(self._X), tuple(self._Y),
+                    self._next_key(), self.num_samples, -1)
 
     ELBO = objective
 
     def propagate(self, X, full_cov=False, S=1):
         X = jnp.asarray(X, dtype=default_float())
-        return propagate(self.params, X, self._next_key(), S, full_cov=full_cov)
+        return _propagate_jit(self.params, X, self._next_key(), S, None, None, full_cov)
 
     def predict_all_layers(self, Xnew, num_samples):
         """All per-layer samples/means/vars (MF_DGP.py:234-235)."""
@@ -276,13 +283,11 @@ class MultiFidelityDeepGP:
 
     def predict_f(self, X, full_cov=False, S=1, fidelity=None):
         X = jnp.asarray(X, dtype=default_float())
-        return predict_f(self.params, X, self._next_key(), S, fidelity,
-                         full_cov=full_cov)
+        return _predict_f_jit(self.params, X, self._next_key(), S, fidelity, full_cov)
 
     def predict_y(self, Xnew, num_samples, full_cov=False):
         Xnew = jnp.asarray(Xnew, dtype=default_float())
-        return predict_y(self.params, Xnew, self._next_key(), num_samples,
-                         full_cov=full_cov)
+        return _predict_y_jit(self.params, Xnew, self._next_key(), num_samples, full_cov)
 
     def predict(self, X_test, full_cov=False):
         """Highest fidelity, moment-matched over 250 samples

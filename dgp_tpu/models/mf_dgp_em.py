@@ -36,6 +36,7 @@ from ..layers.svgp import (
 from ..ops import kernels as K
 from ..ops.likelihoods import Gaussian, fidelity_variational_expectations
 from . import training
+from ._jit import maybe_jit
 from .dgp import moment_matched
 
 
@@ -272,6 +273,13 @@ def init_layers_mf_em(X, Z, W, kernels, kernels_red, num_outputs=1, key=None,
     return layers, layers_red
 
 
+_elbo_jit = maybe_jit(elbo, static_argnums=(5, 6))
+_propagate_jit = maybe_jit(propagate, static_argnums=(3, 5, 6, 7))
+_predict_f_jit = maybe_jit(predict_f, static_argnums=(3, 4, 5, 6))
+_project_jit = maybe_jit(project, static_argnums=(3, 4, 5))
+_predict_y_jit = maybe_jit(predict_y, static_argnums=(3, 4))
+
+
 class MultiFidelityDeepGP_EM:
     """Reference-parity wrapper (MF_DGP_EM.py:383-596).
 
@@ -326,17 +334,16 @@ class MultiFidelityDeepGP_EM:
         return loss
 
     def objective(self):
-        return elbo(self.params, tuple(self._X), tuple(self._Y),
-                    tuple(self._X_red), self._next_key(), self.num_samples)
+        return _elbo_jit(self.params, tuple(self._X), tuple(self._Y),
+                    tuple(self._X_red), self._next_key(), self.num_samples, -1)
 
     ELBO = objective
 
     def propagate(self, X, full_cov=False, S=1, fidelity_dim=None,
                   project=False):
         X = jnp.asarray(X, dtype=default_float())
-        return propagate(self.params, X, self._next_key(), S,
-                         fidelity_dim=fidelity_dim, project=project,
-                         full_cov=full_cov)
+        return _propagate_jit(self.params, X, self._next_key(), S, None,
+                              fidelity_dim, project, full_cov)
 
     def predict_all_layers(self, Xnew, num_samples):
         """All per-layer samples/means/vars (MF_DGP.py:234-235)."""
@@ -345,18 +352,18 @@ class MultiFidelityDeepGP_EM:
     def predict_f(self, X, full_cov=False, S=1, fidelity=None,
                   fidelity_dim=None):
         X = jnp.asarray(X, dtype=default_float())
-        return predict_f(self.params, X, self._next_key(), S, fidelity,
-                         fidelity_dim, full_cov=full_cov)
+        return _predict_f_jit(self.params, X, self._next_key(), S, fidelity,
+                              fidelity_dim, full_cov)
 
     def project(self, X, full_cov=False, S=1, fidelity=None, fidelity_dim=None):
         X = jnp.asarray(X, dtype=default_float())
-        return project(self.params, X, self._next_key(), S, fidelity,
-                       fidelity_dim)
+        return _project_jit(self.params, X, self._next_key(), S, fidelity,
+                            fidelity_dim)
 
     def predict_y(self, Xnew, num_samples, full_cov=False):
         Xnew = jnp.asarray(Xnew, dtype=default_float())
-        return predict_y(self.params, Xnew, self._next_key(), num_samples,
-                         full_cov=full_cov)
+        return _predict_y_jit(self.params, Xnew, self._next_key(), num_samples,
+                              full_cov)
 
     def predict(self, X_test, full_cov=False):
         y_m, y_v = self.predict_y(X_test, 250, full_cov=full_cov)

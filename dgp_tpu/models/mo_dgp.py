@@ -26,6 +26,7 @@ from ..layers.svgp import SVGPLayer, layer_kl, sample_from_conditional
 from ..ops import kernels as K
 from ..ops.likelihoods import Gaussian, fidelity_variational_expectations
 from . import training
+from ._jit import maybe_jit
 from .dgp import moment_matched
 from .mf_dgp import compute_full_zs, init_layers_mf
 
@@ -140,6 +141,11 @@ def elbo(params: MODGPParams, Xs, Ys, key, num_samples: int, loop: int = 2,
     return L - KL
 
 
+_elbo_jit = maybe_jit(elbo, static_argnums=(4, 5, 6))
+_propagate_jit = maybe_jit(propagate, static_argnums=(3, 4, 5))
+_predict_f_jit = maybe_jit(predict_f, static_argnums=(3, 4, 5, 6))
+
+
 class MultiObjDeepGP:
     """Reference-parity wrapper (MO_DGP.py:305-512). Default inducing points:
     Z[0] = [X, Y_2], Z[1] = X (MO_DGP.py:495-512)."""
@@ -181,15 +187,15 @@ class MultiObjDeepGP:
         return loss
 
     def objective(self):
-        return elbo(self.params, tuple(self._X), tuple(self._Y),
-                    self._next_key(), self.num_samples, loop=self.loop)
+        return _elbo_jit(self.params, tuple(self._X), tuple(self._Y),
+                    self._next_key(), self.num_samples, self.loop, -1)
 
     ELBO = objective
 
     def propagate(self, X, full_cov=False, S=1):
         X = jnp.asarray(X, dtype=default_float())
-        return propagate(self.params, X, self._next_key(), S, loop=self.loop,
-                         full_cov=full_cov)
+        return _propagate_jit(self.params, X, self._next_key(), S, self.loop,
+                              full_cov)
 
     def predict_all_layers(self, Xnew, num_samples):
         """All per-layer samples/means/vars (MF_DGP.py:234-235)."""
@@ -197,8 +203,8 @@ class MultiObjDeepGP:
 
     def predict_f(self, X, full_cov=False, S=1, objective=None):
         X = jnp.asarray(X, dtype=default_float())
-        return predict_f(self.params, X, self._next_key(), S, objective,
-                         loop=self.loop, full_cov=full_cov)
+        return _predict_f_jit(self.params, X, self._next_key(), S, objective,
+                              self.loop, full_cov)
 
     def predict_y(self, Xnew, num_samples, full_cov=False):
         Fmean, Fvar = self.predict_f(Xnew, S=num_samples, full_cov=full_cov)
