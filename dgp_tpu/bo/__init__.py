@@ -1,4 +1,5 @@
-from . import acquisition, de, doe, problems, so_bo
+from . import acquisition, de, doe, ehvi, problems, so_bo
 from .acquisition import EI, EV, WB2, WB2S, EV_one_constraint, PoF
 from .doe import doe as DoE, lhs
+from .ehvi import EHVI, HV_calcul, NDC, Y_ND, optimize_EHVI, psi
 from .so_bo import SO_BO, denormalize, denormalize_var, normalize, normalize_C, normalize_X

@@ -165,6 +165,24 @@ class DGP:
         )
         self._key = jax.random.PRNGKey(seed)
 
+    @classmethod
+    def from_layers(cls, X, Y, layers, likelihood=None, num_samples=1,
+                    minibatch_size=None, seed=0):
+        """Build a DGP from a custom layer stack (the reference's direct
+        ``DGP_Base(likelihood, layers)`` construction, dgp.py:21-32)."""
+        self = cls.__new__(cls)
+        dtype = default_float()
+        likelihood = likelihood or Gaussian.create(1.0, dtype=dtype)
+        self.params = DGPParams(layers=tuple(layers), likelihood=likelihood)
+        self.num_samples = num_samples
+        self.minibatch_size = minibatch_size
+        self.data = (
+            jnp.asarray(np.asarray(X), dtype=dtype),
+            jnp.asarray(np.asarray(Y), dtype=dtype),
+        )
+        self._key = jax.random.PRNGKey(seed)
+        return self
+
     # -- utilities -------------------------------------------------------------
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)

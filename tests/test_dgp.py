@@ -149,3 +149,21 @@ def test_minibatch_training_runs_and_fits():
     assert np.isfinite(e)
     # the minibatch-scaled loss should be in the same ballpark as full ELBO
     assert abs(-np.mean(losses[-20:]) - e) < 0.5 * max(abs(e), 50)
+
+
+def test_from_layers_custom_stack():
+    """DGP_Base-style construction from a custom layer list (dgp.py:21-32)."""
+    from dgp_tpu.layers.svgp import make_svgp_layer
+    from dgp_tpu.ops.means import Zero
+
+    rng = np.random.default_rng(1)
+    X = rng.uniform(0, 1, (15, 2))
+    Y = np.sin(4 * X[:, :1])
+    l1 = make_svgp_layer(K.RBF.create(lengthscales=[1.0, 1.0]), X[:5], 2,
+                         white=True)
+    l2 = make_svgp_layer(K.Matern52.create(lengthscales=[1.0, 1.0]), X[:5, :2],
+                         1, Zero(1), white=True)
+    model = DGP.from_layers(X, Y, [l1, l2], num_samples=3)
+    assert np.isfinite(float(model.ELBO()))
+    losses = model.optimize_adam(iterations=30, lr=0.02, messages=0)
+    assert np.all(np.isfinite(np.asarray(losses)))
