@@ -267,7 +267,9 @@ class SO_BO:
                     self.added_points = self.constrained_IC.optimize_with_IC(
                         self.IC, self.model_Y, self.model_C, bounds,
                         popsize_DE=popsize_DE, popstd_DE=popstd_DE,
-                        iterations_DE=iterations_DE, method=IC_method, key=sub,
+                        iterations_DE=iterations_DE, init_adam=init_adam,
+                        iterations_adam=iterations_adam, method=IC_method,
+                        key=sub,
                     )
                 elif constraint_handling == "EV":
                     self.constrained_IC = EV(self.feasible_0, self.d)
@@ -275,6 +277,7 @@ class SO_BO:
                         self.IC, self.model_Y, self.model_C, bounds,
                         threshold=threshold, popsize_DE=popsize_DE,
                         popstd_DE=popstd_DE, iterations_DE=iterations_DE,
+                        init_adam=init_adam, iterations_adam=iterations_adam,
                         method=IC_method, analytic=analytic, key=sub,
                     )
                 else:
