@@ -73,3 +73,36 @@ def test_sharded_gradients_match_single_device():
         jax.tree_util.tree_leaves(g_sharded), jax.tree_util.tree_leaves(g_single)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-9)
+
+
+def test_2d_mesh_data_sample_parallel():
+    """(data x sample) mesh: exact match vs single device on a sampling-free
+    single-layer model, finite grads through both psum axes."""
+    from dgp_tpu.parallel.data_parallel import make_data_sample_parallel_elbo
+    from dgp_tpu.parallel.mesh import make_mesh_2d
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(1)
+    N = 32
+    X = rng.uniform(0, 1, (N, 1))
+    Y = np.sin(5 * X)
+    model = DGP(X, Y, X[:6].copy(), [K.RBF.create(lengthscales=[1.0])], [],
+                num_samples=4)
+    mesh = make_mesh_2d(4, 2)
+    sh = NamedSharding(mesh, P("data"))
+    Xs = jax.device_put(jnp.asarray(X), sh)
+    Ys = jax.device_put(jnp.asarray(Y), sh)
+    pelbo = make_data_sample_parallel_elbo(mesh, num_samples=4)
+    key = jax.random.PRNGKey(0)
+    v = float(jax.jit(pelbo)(model.params, Xs, Ys, key))
+    single = float(elbo(model.params, jnp.asarray(X), jnp.asarray(Y), key, 4))
+    np.testing.assert_allclose(v, single, rtol=1e-8)
+    g = jax.jit(jax.grad(lambda p: -pelbo(p, Xs, Ys, key)))(model.params)
+    assert all(bool(jnp.all(jnp.isfinite(x)))
+               for x in jax.tree_util.tree_leaves(g))
+
+    # sample axis must divide num_samples
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_data_sample_parallel_elbo(mesh, num_samples=3)
