@@ -14,7 +14,7 @@ population_size swapped into tfp (EHVI.py:216).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
 from ..config import default_jitter
-from .linalg import safe_cholesky, tri_solve
+from .linalg import tri_solve
 
 
 class SVGPProjection(NamedTuple):
@@ -116,13 +116,23 @@ def conditional_diag(kernel, Z, q_mu, q_sqrt, X, *, white: bool, jitter=None,
     # precomputed projector instead of a wide triangular solve.
     A = jnp.matmul(proj.Pinv, Kuf, precision=hi)
     mean = jnp.matmul(A.T, q_mu, precision=hi)  # [n, D]
-    B = jnp.matmul(proj.SK, A[None], precision=hi)  # [D, M, n] batched MXU
-    delta = jnp.sum(A[None] * B, axis=1)       # [D, n]
+    # variance as two PSD quadforms (prior-reduction + variational), each a
+    # cancellation-free sum of products, instead of the indefinite
+    # A^T (SS^T - C) A form — same FLOPs, much better f32 conditioning:
+    #   white:      var = Kff - ||A||^2        + ||q_sqrt^T A||^2
+    #   non-white:  var = Kff - sum(Kuf * A)   + ||q_sqrt^T A||^2
+    if white:
+        t1 = jnp.sum(A * A, axis=0)            # [n]
+    else:
+        t1 = jnp.sum(Kuf * A, axis=0)          # kuf^T Kuu^{-1} kuf
+    Sq = jnp.swapaxes(jnp.tril(q_sqrt), -1, -2)  # [D, M, M]
+    B = jnp.matmul(Sq, A[None], precision=hi)  # [D, M, n] batched MXU
+    t2 = jnp.sum(B * B, axis=1)                # [D, n]
     Kff = kernel.K_diag(X)                     # [n]
-    # clamp: var >= 0 mathematically (Schur complement); f32 rounding through
-    # the solves can push it slightly negative, which would NaN the sqrt in
-    # reparameterize.
-    var = jnp.maximum((Kff[None, :] + delta).T, 0.0)  # [n, D]
+    # clamp: var >= 0 mathematically (Schur complement); f32 rounding in the
+    # final subtraction can still push it slightly negative, which would NaN
+    # the sqrt in reparameterize.
+    var = jnp.maximum((Kff[None, :] - t1[None, :] + t2).T, 0.0)  # [n, D]
     return mean, var
 
 

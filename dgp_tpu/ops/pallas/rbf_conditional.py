@@ -55,7 +55,9 @@ def rbf_conditional_diag_ref(Xs, Zs, alpha, E, sigma2f):
     :param Xs: [n, d] inputs scaled by lengthscales
     :param Zs: [M, d] inducing inputs scaled by lengthscales
     :param alpha: [M, D]
-    :param E: [D, M, M]
+    :param E: [D, M, M]; when the caller uses the PSD-split form, E carries
+        E2_d - E1 pre-combined or the split is applied outside — this
+        reference computes the generic quadform quad_d = diag(K E_d K^T)
     :param sigma2f: scalar kernel variance
     :return: mean [n, D], var [n, D] (var excludes the leading Kff term's
         clamping; caller adds Kff = sigma2f and clamps)

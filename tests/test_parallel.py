@@ -72,7 +72,7 @@ def test_sharded_gradients_match_single_device():
     for a, b in zip(
         jax.tree_util.tree_leaves(g_sharded), jax.tree_util.tree_leaves(g_single)
     ):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8)
 
 
 def test_2d_mesh_data_sample_parallel():
