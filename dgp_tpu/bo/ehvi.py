@@ -56,7 +56,15 @@ def HV_calcul(ND, Y, bounds):
 def NDC(Y, C, obj1_ascending=True):
     """Feasibility-filtered non-dominated indices, sorted by objective 1
     (EHVI.py:35-81). Minimization; a point is dominated if another feasible
-    point is <= in both objectives and < in one."""
+    point is <= in both objectives and < in one.
+
+    Large archives dispatch to the O(n log n) C++ sweep in ``dgp_tpu.native``
+    when the extension is available."""
+    if len(np.asarray(Y[0])) >= 512:
+        from .. import native
+
+        if native.available():
+            return native.nd_sort_2d(Y, C, obj1_ascending=obj1_ascending)
     y = np.concatenate((np.asarray(Y[0]), np.asarray(Y[1])), axis=1)
     C = np.asarray(C)
     feasible = [i for i in range(len(y)) if C[i].max() <= 0]
