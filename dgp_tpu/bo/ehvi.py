@@ -65,6 +65,11 @@ def NDC(Y, C, obj1_ascending=True):
 
         if native.available():
             return native.nd_sort_2d(Y, C, obj1_ascending=obj1_ascending)
+    return _ndc_numpy(Y, C, obj1_ascending=obj1_ascending)
+
+
+def _ndc_numpy(Y, C, obj1_ascending=True):
+    """Pure-numpy O(n^2) reference implementation (also the native fallback)."""
     y = np.concatenate((np.asarray(Y[0]), np.asarray(Y[1])), axis=1)
     C = np.asarray(C)
     feasible = [i for i in range(len(y)) if C[i].max() <= 0]

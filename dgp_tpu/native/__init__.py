@@ -60,9 +60,9 @@ def nd_sort_2d(Y, C, obj1_ascending=True):
     """Drop-in for ``dgp_tpu.bo.ehvi.NDC`` (2 objectives, minimization)."""
     lib = _load()
     if lib is None:
-        from ..bo.ehvi import NDC
+        from ..bo.ehvi import _ndc_numpy
 
-        return NDC(Y, C, obj1_ascending=obj1_ascending)
+        return _ndc_numpy(Y, C, obj1_ascending=obj1_ascending)
     y = np.ascontiguousarray(
         np.concatenate((np.asarray(Y[0]).reshape(-1, 1),
                         np.asarray(Y[1]).reshape(-1, 1)), axis=1),
