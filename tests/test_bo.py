@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import pytest
 
 from dgp_tpu.bo import de
-from dgp_tpu.bo.acquisition import EI, EV, PoF, WB2, EV_one_constraint
+from dgp_tpu.bo.acquisition import EI, EV, PoF, WB2, WB2S, EV_one_constraint
 from dgp_tpu.bo.doe import lhs
 from dgp_tpu.bo.so_bo import SO_BO
 from dgp_tpu.models.gpr import GPR
@@ -166,3 +166,51 @@ def test_so_bo_with_dgp_surrogate():
            popsize_DE=20, iterations_DE=15, IC_method="DE", verbose=False)
     assert len(bo.Ymin) == 2
     assert np.isfinite(bo.Ymin[-1])
+
+
+def test_ei_nonanalytic_and_adam_refinement(gpr_model):
+    """MC-EI (analytic=False, Infill_criteria.py:48-51) + DE+Adam method."""
+    ei = EI(0.05, 1)
+    out = np.asarray(ei.run(gpr_model, jnp.asarray([[0.4], [0.9]]),
+                            analytic=False, num_samples=400,
+                            key=jax.random.PRNGKey(0)))
+    assert out.shape == (2, 1) and np.all(np.isfinite(out))
+    assert out[0, 0] < out[1, 0]  # x=0.4 (near optimum) has higher EI
+    x_opt = ei.optimize(gpr_model, (np.zeros(1), np.ones(1)), popsize_DE=30,
+                        iterations_DE=30, iterations_adam=100,
+                        method="DE+Adam", key=jax.random.PRNGKey(1))
+    assert abs(float(x_opt[0, 0]) - 0.5) < 0.2
+
+
+def test_wb2s_optimize(gpr_model):
+    w = WB2S(0.02, 1, scale=2.0)
+    x_opt = w.optimize(gpr_model, (np.zeros(1), np.ones(1)), popsize_DE=30,
+                       iterations_DE=30, method="DE",
+                       key=jax.random.PRNGKey(0))
+    assert x_opt.shape == (1, 1) and 0 <= float(x_opt[0, 0]) <= 1
+
+
+def test_ev_multiple_constraints(gpr_model):
+    ev = EV(np.array([0.05, 0.1]), 1)
+    out = np.asarray(ev.run([gpr_model, gpr_model],
+                            jnp.asarray([[0.3], [0.7]]),
+                            key=jax.random.PRNGKey(0)))
+    assert out.shape == (2, 2)
+    assert np.all(out >= 0)
+
+
+def test_so_bo_from_scratch_rebuild():
+    """The from_scratch branch rebuilds both models and retrains
+    (SO_BO.py:277-292; the reference discarded the rebuilt objective)."""
+    problem = _ConstrainedProblem()
+    spec = {"num_layers": 0, "kernels": "rbf"}
+    bo = SO_BO(problem=problem, DoE_size=6, model_Y_dic=spec,
+               model_C_dic=spec, seed=9)
+    first_model = bo.model_Y
+    bo.run(3, from_scratch=2, IC="EI", constraint_handling="EV",
+           train_iterations=100, popsize_DE=20, iterations_DE=15,
+           IC_method="DE", verbose=False)
+    # iteration 2 (j=2, j%2==0, j!=0) must have rebuilt the objective model
+    assert bo.model_Y is not first_model
+    assert len(bo.Ymin) == 4
+
