@@ -289,6 +289,18 @@ class MultiFidelityDeepGP:
         Xnew = jnp.asarray(Xnew, dtype=default_float())
         return _predict_y_jit(self.params, Xnew, self._next_key(), num_samples, full_cov)
 
+    def predict_density(self, Xnew, Ynew, num_samples):
+        """log E_S[p(y|f)] via logsumexp over samples (MF_DGP.py:243-247)."""
+        import jax.scipy.special as _jsp
+
+        Fmean, Fvar = self.predict_f(Xnew, S=num_samples)
+        Ynew = jnp.asarray(np.asarray(Ynew), dtype=default_float())
+        log_p = self.params.likelihood.predict_density(Fmean, Fvar, Ynew)
+        S = num_samples
+        return _jsp.logsumexp(
+            log_p - jnp.log(jnp.asarray(S, dtype=log_p.dtype)), axis=0
+        )
+
     def predict(self, X_test, full_cov=False):
         """Highest fidelity, moment-matched over 250 samples
         (MF_DGP.py:336-341)."""
@@ -344,7 +356,7 @@ class MultiFidelityDeepGP:
                 loss_fn, self.params, mask, self._next_key(), steps=steps,
                 lr=lr, b1=beta_1, b2=beta_2, eps=epsilon, messages=messages,
             )
-        traces.append(_ls)
+            traces.append(_ls)
         return jnp.concatenate([jnp.ravel(t) for t in traces]) if traces else jnp.zeros((0,))
 
     def optimize_nat_adam(self, lr_adam=0.01, lr_gamma=0.01, iterations1=2000,

@@ -210,6 +210,18 @@ class MultiObjDeepGP:
         Fmean, Fvar = self.predict_f(Xnew, S=num_samples, full_cov=full_cov)
         return self.params.likelihood.predict_mean_and_var(Fmean, Fvar)
 
+    def predict_density(self, Xnew, Ynew, num_samples):
+        """log E_S[p(y|f)] via logsumexp over samples (MF_DGP.py:243-247)."""
+        import jax.scipy.special as _jsp
+
+        Fmean, Fvar = self.predict_f(Xnew, S=num_samples)
+        Ynew = jnp.asarray(np.asarray(Ynew), dtype=default_float())
+        log_p = self.params.likelihood.predict_density(Fmean, Fvar, Ynew)
+        S = num_samples
+        return _jsp.logsumexp(
+            log_p - jnp.log(jnp.asarray(S, dtype=log_p.dtype)), axis=0
+        )
+
     def predict(self, X_test, full_cov=False):
         y_m, y_v = self.predict_y(X_test, 250, full_cov=full_cov)
         mean, var = moment_matched(y_m, y_v)
@@ -286,7 +298,7 @@ class MultiObjDeepGP:
                 loss_fn, self.params, mask, self._next_key(), steps=steps,
                 lr=lr, messages=messages,
             )
-        traces.append(_ls)
+            traces.append(_ls)
         return jnp.concatenate([jnp.ravel(t) for t in traces]) if traces else jnp.zeros((0,))
 
     @staticmethod

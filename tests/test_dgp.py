@@ -167,3 +167,17 @@ def test_from_layers_custom_stack():
     assert np.isfinite(float(model.ELBO()))
     losses = model.optimize_adam(iterations=30, lr=0.02, messages=0)
     assert np.all(np.isfinite(np.asarray(losses)))
+
+
+def test_multi_output_dgp():
+    """num_outputs > 1 (the reference supports D-output last layers)."""
+    rng = np.random.default_rng(4)
+    X = rng.uniform(0, 1, (25, 2))
+    Y = np.concatenate([np.sin(4 * X[:, :1]), np.cos(3 * X[:, 1:])], axis=1)
+    kerns = [K.RBF.create(lengthscales=[1.0, 1.0]) for _ in range(2)]
+    model = DGP(X, Y, X[:8].copy(), kerns, [2], num_samples=3)
+    assert model.params.layers[-1].q_mu.shape == (8, 2)
+    losses = model.optimize_adam(iterations=40, lr=0.02, messages=0)
+    assert np.all(np.isfinite(np.asarray(losses)))
+    mean, var = model.predict(X, num_samples=20)
+    assert mean.shape == (25, 2) and np.all(np.isfinite(mean))

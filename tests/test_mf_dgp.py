@@ -121,3 +121,14 @@ def test_full_cov_prediction_path():
     assert yv.shape == (2, 6, 6, 1)
     d = np.diagonal(np.asarray(yv)[..., 0], axis1=1, axis2=2)
     assert np.all(np.isfinite(d))
+
+
+def test_predict_density_and_adam_variant():
+    X, Y, x_test, _ = park_data(n_low=12, n_high=4)
+    m = MultiFidelityDeepGP(X, Y, num_samples=2)
+    dens = np.asarray(m.predict_density(x_test[:5], park_high(x_test[:5]), 8))
+    assert dens.shape == (5, 1) and np.all(np.isfinite(dens))
+    # plain-Adam 3-phase variant (MF_DGP.py:345-424)
+    losses = np.asarray(m.optimize_adam(lr=0.01, iterations1=20, iterations2=20,
+                                        iterations3=20, messages=0))
+    assert losses.shape == (60,) and np.all(np.isfinite(losses))

@@ -106,3 +106,12 @@ def test_optimize_ehvi_smoke():
                           method="DE", key=jax.random.PRNGKey(0))
     assert x_opt.shape == (1, 1)
     assert 0.0 <= float(x_opt[0, 0]) <= 1.0
+
+def test_mo_adam_variant_and_predict_density():
+    X, Y, _ = mo_data()
+    m = MultiObjDeepGP(X, Y, loop=1, num_samples=2)
+    losses = np.asarray(m.optimize_adam(lr=0.01, iterations1=20, iterations2=10,
+                                        iterations3=10, messages=0))
+    assert losses.shape == (40,) and np.all(np.isfinite(losses))
+    dens = np.asarray(m.predict_density(X[0][:4], Y[1][:4], 6))
+    assert dens.shape == (4, 1) and np.all(np.isfinite(dens))
