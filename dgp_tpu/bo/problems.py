@@ -1,111 +1,113 @@
 """Analytic multi-objective test problems.
 
 Same problem suite as /root/reference/dgp_dace/problems_MO.py:3-87 (the
-formulas are the specification). Each problem exposes ``bounds`` (L1, L2, U1,
-U2 hypervolume reference box), ``dim``, ``hv_max`` and ``fun(x) -> [f1, f2]``.
+formulas are the specification; the reference credits them to the standard
+MO benchmarks — Kursawe, Deb, DTLZ). Implemented as a registry of
+``MOProblem`` instances; each exposes ``bounds`` (L1, L2, U1, U2 hypervolume
+reference box), ``dim``, ``hv_max`` and ``fun(x) -> [f1, f2]``.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+from typing import Callable, Tuple
+
 import numpy as np
 
 
-class multi_obj_1D:
-    def __init__(self):
-        self.bounds = (-1.0, -1.0, 1.0, 3.0)
-        self.dim = 1
-        self.hv_max = 0.47941844
+@dataclass
+class MOProblem:
+    name: str
+    dim: int
+    bounds: Tuple[float, float, float, float]
+    hv_max: float
+    _fun: Callable = field(repr=False)
 
     def fun(self, x):
-        f1 = -x * np.cos(15 * (2 * x - 0.2))
-        f2 = x**2 * np.exp(np.cos(15 * (2 * x - 0.2))) - 1
-        return [f1, f2]
+        return self._fun(np.asarray(x))
 
 
-class multi_obj_1D_2:
-    def __init__(self):
-        self.bounds = (-1.0, -4.0, 1.0, 1.0)
-        self.dim = 1
-        self.hv_max = 0.47941844
-
-    def fun(self, x):
-        f1 = -np.cos(15 * x)
-        f2 = -x * np.exp(np.cos(15 * (2 * x - 0.2))) - 1
-        return [f1, f2]
+def _osc(x):
+    """The oscillatory factor shared by the 1-D problems."""
+    return np.cos(15 * (2 * x - 0.2))
 
 
-class multi_obj_1D_3:
-    def __init__(self):
-        self.bounds = (-16.0, -11.0, 6.0, 3.0)
-        self.dim = 1
-        self.hv_max = 0.47941844
-
-    def fun(self, x):
-        f1 = -((6 * x - 2) ** 2) * np.sin(12 * x - 4)
-        f2 = -(0.5 * f1 + 10 * (x - 0.5) + 5)
-        return [f1, f2]
+def _f_1d(x):
+    return [-x * _osc(x), x**2 * np.exp(_osc(x)) - 1]
 
 
-class multi_obj_1D_4:
-    def __init__(self):
-        self.bounds = (-16.0, -11.0, 6.0, 3.0)
-        self.dim = 1
-        self.hv_max = 0.47941844
-
-    def fun(self, x):
-        f1 = np.exp(np.cos(15 * (2 * x - 0.2))) - 1
-        f2 = -x * np.exp(np.cos(15 * (2 * x - 0.2))) - 1
-        return [f1, f2]
+def _f_1d_2(x):
+    return [-np.cos(15 * x), -x * np.exp(_osc(x)) - 1]
 
 
-class kursawe:
-    def __init__(self):
-        self.bounds = (-22.0, -14.0, 50.0, 50.0)
-        self.dim = 3
-        self.hv_max = 0.47941844
-
-    def fun(self, x):
-        x = 10 * x - 5
-        f1 = np.sum(-10 * np.exp(-0.2 * np.sqrt(x[:-1] ** 2 + x[1:] ** 2)))
-        f2 = np.sum(np.abs(x) ** 0.8 + 5 * np.sin(x**3))
-        return [f1, f2]
+def _f_1d_3(x):
+    f1 = -((6 * x - 2) ** 2) * np.sin(12 * x - 4)
+    return [f1, -(0.5 * f1 + 10 * (x - 0.5) + 5)]
 
 
-class kursawe_10d:
-    def __init__(self):
-        self.bounds = (-95.0, -45.0, -60.0, 10.0)
-        self.dim = 10
-        self.hv_max = 0.47941844
-
-    def fun(self, x):
-        x = 10 * x - 5
-        f1 = np.sum(-10 * np.exp(-0.2 * np.sqrt(x[:-1] ** 2 + x[1:] ** 2)))
-        f2 = np.sum(np.abs(x) ** 0.8 + 5 * np.sin(x**3))
-        return [f1, f2]
+def _f_1d_4(x):
+    e = np.exp(_osc(x))
+    return [e - 1, -x * e - 1]
 
 
-class deb6:
-    def __init__(self):
-        self.bounds = (0.0, 0.0, 1.0, 1.0)
-        self.dim = 10
-        self.hv_max = 0.32164096
-
-    def fun(self, x):
-        f1 = 1 - np.exp(-4 * x[0]) * np.sin(6 * np.pi * x[0]) ** 6
-        g = 1 + 9 * ((np.abs(np.sum(x[1:]))) / 9) ** 0.25
-        h = 1 - (f1 / g) ** 2
-        f2 = g * h
-        return [f1, f2]
+def _f_kursawe(x):
+    z = 10 * x - 5
+    f1 = np.sum(-10 * np.exp(-0.2 * np.sqrt(z[:-1] ** 2 + z[1:] ** 2)))
+    f2 = np.sum(np.abs(z) ** 0.8 + 5 * np.sin(z**3))
+    return [f1, f2]
 
 
-class dtlz1a:
-    def __init__(self):
-        self.bounds = (-550.0, -550.0, 0.0, 0.0)
-        self.dim = 6
-        self.hv_max = 0.41692852
+def _f_deb6(x):
+    f1 = 1 - np.exp(-4 * x[0]) * np.sin(6 * np.pi * x[0]) ** 6
+    g = 1 + 9 * (np.abs(np.sum(x[1:])) / 9) ** 0.25
+    return [f1, g * (1 - (f1 / g) ** 2)]
 
-    def fun(self, x):
-        g = 100 * (5 + np.sum((x[1:] - 0.5) ** 2 - np.cos(2 * np.pi * (x[1:] - 0.5))))
-        f1 = -0.5 * x[1] * (1 + g)
-        f2 = -0.5 * (1 - x[1]) * (1 + g)
-        return [f1, f2]
+
+def _f_dtlz1a(x):
+    g = 100 * (5 + np.sum((x[1:] - 0.5) ** 2 - np.cos(2 * np.pi * (x[1:] - 0.5))))
+    return [-0.5 * x[1] * (1 + g), -0.5 * (1 - x[1]) * (1 + g)]
+
+
+_REGISTRY = {
+    "multi_obj_1D": MOProblem("multi_obj_1D", 1, (-1.0, -1.0, 1.0, 3.0),
+                              0.47941844, _f_1d),
+    "multi_obj_1D_2": MOProblem("multi_obj_1D_2", 1, (-1.0, -4.0, 1.0, 1.0),
+                                0.47941844, _f_1d_2),
+    "multi_obj_1D_3": MOProblem("multi_obj_1D_3", 1, (-16.0, -11.0, 6.0, 3.0),
+                                0.47941844, _f_1d_3),
+    "multi_obj_1D_4": MOProblem("multi_obj_1D_4", 1, (-16.0, -11.0, 6.0, 3.0),
+                                0.47941844, _f_1d_4),
+    "kursawe": MOProblem("kursawe", 3, (-22.0, -14.0, 50.0, 50.0),
+                         0.47941844, _f_kursawe),
+    "kursawe_10d": MOProblem("kursawe_10d", 10, (-95.0, -45.0, -60.0, 10.0),
+                             0.47941844, _f_kursawe),
+    "deb6": MOProblem("deb6", 10, (0.0, 0.0, 1.0, 1.0), 0.32164096, _f_deb6),
+    "dtlz1a": MOProblem("dtlz1a", 6, (-550.0, -550.0, 0.0, 0.0),
+                        0.41692852, _f_dtlz1a),
+}
+
+
+def get(name: str) -> MOProblem:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown problem {name!r}; available: {sorted(_REGISTRY)}"
+        ) from None
+
+
+def names():
+    return sorted(_REGISTRY)
+
+
+# reference-parity constructors: multi_obj_1D_4() etc.
+def _make_ctor(name):
+    def ctor():
+        return get(name)
+
+    ctor.__name__ = name
+    return ctor
+
+
+for _name in list(_REGISTRY):
+    globals()[_name] = _make_ctor(_name)
