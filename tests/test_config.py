@@ -1,0 +1,44 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import dgp_tpu
+from dgp_tpu import config
+from dgp_tpu.parallel.mesh import pad_to_multiple
+
+
+def test_default_float_tracks_x64():
+    # conftest enables x64, so the default is f64
+    assert config.default_float() == jnp.dtype("float64")
+    assert config.default_jitter() == 1e-6
+    config.set_default_float("float32")
+    try:
+        assert config.default_float() == jnp.dtype("float32")
+        assert config.default_jitter() == 1e-4  # precision-aware default
+    finally:
+        config._STATE["float"] = None
+    assert config.default_float() == jnp.dtype("float64")
+
+
+def test_jitter_override():
+    config.set_default_jitter(3e-5)
+    try:
+        assert config.default_jitter() == 3e-5
+    finally:
+        config._STATE["jitter"] = None
+
+
+def test_use_pallas_modes():
+    assert config.use_pallas() is False  # auto = off (conservative)
+    config.set_use_pallas(True)
+    assert config.use_pallas() is True
+    config.set_use_pallas("auto")
+
+
+def test_pad_to_multiple():
+    x = np.arange(10).reshape(5, 2)
+    padded, n = pad_to_multiple(x, 4)
+    assert padded.shape == (8, 2) and n == 5
+    assert np.all(padded[5:] == 0)
+    same, n2 = pad_to_multiple(x, 5)
+    assert same.shape == (5, 2) and n2 == 5
