@@ -34,7 +34,7 @@ def _enable_compilation_cache():
 _enable_compilation_cache()
 
 N, M, DIN, HIDDEN, S = 10_000, 128, 8, 8, 10
-WARMUP, STEPS = 3, 30
+WARMUP, STEPS = 5, 60
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
 
 
