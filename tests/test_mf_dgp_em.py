@@ -74,3 +74,37 @@ def test_em_short_training_runs_and_improves():
     after = float(m.objective())
     assert np.isfinite(after)
     assert after > before
+
+
+def test_three_fidelity_variant_dims():
+    """Three fidelities with three different input dims (2 -> 3 -> 5)
+    exercise the deep reduction sub-chains (layers_red[L-i:]) and the
+    Hs[-(i+1)] skip indexing for i >= 2 that two-fidelity models never touch
+    (MF_DGP_EM.py:60-86,123-168)."""
+    rng = np.random.default_rng(3)
+    X = [lhs(2, 15, seed=0), lhs(3, 8, seed=1), lhs(5, 5, seed=2)]
+    f = lambda x: np.sin(3 * x[:, :1]) + x[:, 1:2]
+    Y = [f(X[0]), f(X[1]) + 0.1, f(X[2]) - 0.1]
+    # reference indexing (MF_DGP_EM.py:287-294 with project -> Hmeans[fidelity]):
+    # X_red[f] supervises Hmeans[f] of propagate(X[f+1]) — for f=1 that is the
+    # output of the SECOND reduction layer, i.e. the fully-reduced 2-D space
+    X_red = [X[1][:, :2], X[2][:, :2]]
+    m = MultiFidelityDeepGP_EM(X, Y, X_red, num_samples=3)
+    assert len(m.params.layers) == 3 and len(m.params.layers_red) == 2
+    # reduction chain: 5 -> 3 (red[0] maps dim(X[-2])=3? check shapes)
+    red_out_dims = [l.q_mu.shape[1] for l in m.params.layers_red]
+    assert red_out_dims == [3, 2]  # X[-(1+i)].shape[1] for i=1,2
+    zs = mf_dgp_em.compute_full_zs_em(m.params, jax.random.PRNGKey(0))
+    assert zs[0].shape == (15, 2)
+    assert zs[1].shape == (8, 4)   # z_left(3) + z_right(1)
+    assert zs[2].shape == (5, 6)   # z_left(5) + z_right(1)
+    Xs, Ys = tuple(m._X), tuple(m._Y)
+    Xr = tuple(m._X_red)
+    key = jax.random.PRNGKey(1)
+    val = float(mf_dgp_em.elbo(m.params, Xs, Ys, Xr, key, 3))
+    assert np.isfinite(val)
+    g = jax.grad(lambda p: mf_dgp_em.elbo(p, Xs, Ys, Xr, key, 3))(m.params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    mean, var = m.predict(X[2])
+    assert mean.shape == (5, 1) and np.all(np.isfinite(mean))
