@@ -214,3 +214,30 @@ def test_so_bo_from_scratch_rebuild():
     assert bo.model_Y is not first_model
     assert len(bo.Ymin) == 4
 
+
+
+def test_so_bo_two_constraints():
+    """Multi-constraint bookkeeping through the full loop (the reference's
+    multi-constraint rebind was broken, SO_BO.py:291)."""
+
+    class TwoConstraints:
+        constraint = True
+        dim = 1
+
+        def fun(self, x):
+            g1 = np.where(x > 0.6, 1.0, -1.0)   # feasible x <= 0.6
+            g2 = np.where(x < 0.1, 1.0, -1.0)   # feasible x >= 0.1
+            return [(x - 0.4) ** 2, np.concatenate([g1, g2], axis=-1)]
+
+    spec = {"num_layers": 0, "kernels": "rbf"}
+    bo = SO_BO(problem=TwoConstraints(), DoE_size=8, model_Y_dic=spec,
+               model_C_dic=spec, seed=2)
+    assert len(bo.model_C) == 2
+    assert bo.C.shape == (8, 2)
+    bo.run(3, IC="EI", constraint_handling="EV", train_iterations=150,
+           popsize_DE=30, iterations_DE=25, IC_method="DE", verbose=False)
+    assert bo.C.shape == (11, 2)
+    assert np.all(np.diff(bo.Ymin) <= 1e-12)
+    # the recorded minimum is feasible for BOTH constraints
+    i_best = np.argmin(np.where(bo.C.max(axis=1) <= 0, bo.Y[:, 0], np.inf))
+    assert bo.C[i_best].max() <= 0
