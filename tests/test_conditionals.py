@@ -116,3 +116,34 @@ def test_reparameterize_statistics():
     s = reparameterize(mean, var, z)
     assert abs(float(jnp.mean(s)) - 1.5) < 5e-3
     assert abs(float(jnp.std(s)) - 0.7) < 5e-3
+
+
+def test_whitened_nonwhitened_equivalence():
+    """The whitened parametrization (u = Lu v) must produce the identical
+    posterior and KL when q_white = N(m, L L^T) is mapped to
+    q_nonwhite = N(Lu m, Lu L (Lu L)^T) — the invariant linking the two
+    branches of utils/layers.py:245-247,280-308."""
+    from dgp_tpu.variational import gauss_kl
+
+    kern, Z, X, q_mu_w, q_sqrt_w = setup(M=7, n=11, D=2, seed=5)
+    Zj = jnp.asarray(Z)
+    Kuu = kern.K(Zj) + config.default_jitter() * jnp.eye(Z.shape[0])
+    Lu = jnp.linalg.cholesky(Kuu)
+    q_mu_w = jnp.asarray(q_mu_w)
+    q_sqrt_w = jnp.asarray(q_sqrt_w)
+
+    q_mu_n = Lu @ q_mu_w
+    q_sqrt_n = jnp.einsum("ij,djk->dik", Lu, jnp.tril(q_sqrt_w))
+
+    mean_w, var_w = conditional_diag(kern, Zj, q_mu_w, q_sqrt_w,
+                                     jnp.asarray(X), white=True)
+    mean_n, var_n = conditional_diag(kern, Zj, q_mu_n, q_sqrt_n,
+                                     jnp.asarray(X), white=False)
+    np.testing.assert_allclose(np.asarray(mean_w), np.asarray(mean_n),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(var_w), np.asarray(var_n),
+                               rtol=1e-6, atol=1e-9)
+
+    kl_w = float(gauss_kl(q_mu_w, q_sqrt_w))
+    kl_n = float(gauss_kl(q_mu_n, q_sqrt_n, Lu))
+    np.testing.assert_allclose(kl_w, kl_n, rtol=1e-8)
