@@ -36,9 +36,18 @@ class MODGPParams(struct.PyTreeNode):
     likelihood: Gaussian
 
 
-def make_mo_kernels(Din: int, n_objectives: int, add_linear=True, dtype=None):
+def make_mo_kernels(Din: int, n_objectives: int, add_linear=True, dtype=None,
+                    white_variance=1e-6):
     """Every layer (including the first) uses the composite coupled kernel on
-    [x, f_other] inputs (MO_DGP.py:264-289)."""
+    [x, f_other] inputs (MO_DGP.py:264-289).
+
+    :param white_variance: init of the inner-objective noise (the reference
+        hardcodes 1e-6, MO_DGP.py:289). The tiny value makes the inner data
+        term astronomically stiff (the reference's own notebook stops at ELBO
+        -1.7e8), but measured here a looser 1e-2 init destabilizes the
+        coupled recursion entirely (feedback blowup) — the stiff anchor is
+        load-bearing, so the default stays at the reference value.
+    """
     kernels = []
     for _ in range(n_objectives):
         D = Din + 1
@@ -54,7 +63,8 @@ def make_mo_kernels(Din: int, n_objectives: int, add_linear=True, dtype=None):
             k_l = k_corr * k_prev + k_in
         kernels.append(k_l)
     return [
-        k + K.White.create(variance=1e-6, dtype=dtype) if i < n_objectives - 1
+        k + K.White.create(variance=white_variance, dtype=dtype)
+        if i < n_objectives - 1
         else k
         for i, k in enumerate(kernels)
     ]
@@ -153,7 +163,7 @@ class MultiObjDeepGP:
     name = "mo_dgp"
 
     def __init__(self, X, Y, Z=None, n_iter=5000, loop=2, fix_inducing=True,
-                 num_samples=10, seed=0):
+                 num_samples=10, white_variance=1e-6, seed=0):
         dtype = default_float()
         self._X = [jnp.asarray(np.asarray(x), dtype=dtype) for x in X]
         self._Y = [jnp.asarray(np.asarray(y), dtype=dtype) for y in Y]
@@ -163,7 +173,8 @@ class MultiObjDeepGP:
         if Z is None:
             Z = self._make_inducing_points(X, Y)
         self.Z = Z
-        kernels = make_mo_kernels(np.asarray(X[0]).shape[1], len(X), dtype=dtype)
+        kernels = make_mo_kernels(np.asarray(X[0]).shape[1], len(X),
+                                  dtype=dtype, white_variance=white_variance)
         layers = init_layers_mf(Z, kernels, key=self._next_key(), pad_cols=1)
         self.params = MODGPParams(layers=tuple(layers),
                                   likelihood=Gaussian.create(1.0, dtype=dtype))
