@@ -19,6 +19,7 @@ Differences from the reference, by design:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -58,6 +59,139 @@ def _expected_improvement(y_min, mean, var):
     return (y_min - mean) * norm.cdf(z) + sigma * norm.pdf(z)
 
 
+# -- pure model forwards + cached loss factories --------------------------------
+#
+# The acquisition surface gets re-optimized every BO infill. To reuse the
+# compiled DE/Adam programs across infills (bo/de._ENGINE_CACHE), the loss
+# must be a *stable function object* with everything iteration-dependent
+# (model params/data, y_min, PRNG key, thresholds) passed as a traced args
+# pytree. ``kind`` ('gpr'/'dgp') and sample counts are static factory keys.
+
+
+def _model_state(model):
+    """(kind, traced-state) for a surrogate: GPR carries (params, padded
+    train data); SVGP-based DGP predictions need params only."""
+    if model.name == "gpr":
+        return "gpr", (model.params, model.train_data)
+    return "dgp", model.params
+
+
+def _y_moments_pure(kind, state, x, key, num_samples):
+    if kind == "gpr":
+        params, data = state
+        return gpr_mod.predict_y(params, data, x)
+    m_s, v_s = dgp_mod.predict_y(state, x, key, num_samples)
+    return _moment_matched(m_s, v_s)
+
+
+def _f_moments_pure(kind, state, x, key, num_samples):
+    if kind == "gpr":
+        params, data = state
+        return gpr_mod.predict_y(params, data, x)
+    m_s, v_s = dgp_mod.predict_f(state, x, key, num_samples)
+    return _moment_matched(m_s, v_s)
+
+
+def _samples_pure(kind, state, x, key, num_samples):
+    if kind == "gpr":
+        params, data = state
+        mean, var = gpr_mod.predict_y(params, data, x)
+        z = jax.random.normal(key, (num_samples,) + mean.shape, mean.dtype)
+        return mean[None] + jnp.sqrt(var)[None] * z
+    Fs, _, _ = dgp_mod.propagate(state, x, key, num_samples)
+    return Fs[-1]
+
+
+@functools.lru_cache(maxsize=None)
+def _ei_loss(kind: str, analytic: bool, num_samples: int):
+    """args = (state, y_min, key) -> -EI [n, 1]."""
+
+    def loss(x, args):
+        state, y_min, key = args
+        if analytic:
+            mean, var = _f_moments_pure(kind, state, x, key, num_samples)
+            return -_expected_improvement(y_min, mean, var)
+        F = _samples_pure(kind, state, x, key, num_samples)
+        return -jnp.mean(jnp.maximum(y_min - F, 0.0), axis=0)
+
+    return loss
+
+
+@functools.lru_cache(maxsize=None)
+def _wb2_loss(kind: str, num_samples: int):
+    """args = (state, y_min, scale, key) -> -(scale*EI - mean); scale=1
+    recovers WB2."""
+
+    def loss(x, args):
+        state, y_min, scale, key = args
+        mean, var = _y_moments_pure(kind, state, x, key, num_samples)
+        ei = _expected_improvement(y_min, mean, var)
+        return -(scale * ei - mean)
+
+    return loss
+
+
+def _ev_one_pure(kind, state, x, key, zero_c, analytic, num_samples):
+    if analytic:
+        S = 500 if kind == "dgp" else num_samples
+        mean, var = _y_moments_pure(kind, state, x, key, S)
+        sigma = jnp.sqrt(var)
+        z = (mean - zero_c) / sigma
+        return (mean - zero_c) * norm.cdf(z) + sigma * norm.pdf(z)
+    F = _samples_pure(kind, state, x, key, num_samples)
+    return jnp.mean(jnp.maximum(F - zero_c, 0.0), axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _ev_ic_loss(ic_loss, c_kinds: tuple, analytic: bool, num_samples: int):
+    """args = (ic_args, c_states, zero_c [n_c], threshold, key)."""
+
+    def loss(x, args):
+        ic_args, c_states, zero_c, threshold, key = args
+        evs = []
+        for i, kind in enumerate(c_kinds):
+            sub = jax.random.fold_in(key, i)
+            evs.append(
+                _ev_one_pure(kind, c_states[i], x, sub, zero_c[i], analytic,
+                             num_samples)
+            )
+        ev = jnp.concatenate(evs, axis=1)
+        ev_max = jnp.max(ev, axis=1, keepdims=True)
+        ei = ic_loss(x, ic_args)
+        penalty = jnp.sum(ev, axis=1, keepdims=True) + 10000.0
+        return jnp.where(ev_max > threshold, penalty, ei)
+
+    return loss
+
+
+@functools.lru_cache(maxsize=None)
+def _pof_ic_loss(ic_loss, c_kinds: tuple, num_samples: int):
+    """args = (ic_args, c_states, zero_c [n_c], key) -> -(EI * prod PoF_i)."""
+
+    def loss(x, args):
+        ic_args, c_states, zero_c, key = args
+        pof = 1.0
+        for i, kind in enumerate(c_kinds):
+            sub = jax.random.fold_in(key, i)
+            mean, var = _y_moments_pure(kind, c_states[i], x, sub, num_samples)
+            pof = pof * norm.cdf((zero_c[i] - mean) / jnp.sqrt(var))
+        return ic_loss(x, ic_args) * pof
+
+    return loss
+
+
+@functools.lru_cache(maxsize=None)
+def _boxed(loss_fn):
+    """Lift a box-domain loss to the unconstrained DE/Adam space;
+    args = (lw, up, inner_args)."""
+
+    def fct(V, args):
+        lw, up, inner = args
+        return loss_fn(sigmoid_box_map(lw, up, V), inner)
+
+    return fct
+
+
 class InfillCriteria:
     name = "Infill criteria"
 
@@ -71,7 +205,7 @@ class InfillCriteria:
     def _predict_y_moments(model, x, key, num_samples):
         """Moment-matched predictive-y moments, [n,1] each."""
         if model.name == "gpr":
-            return gpr_mod.predict_y(model.params, model.data, x)
+            return gpr_mod.predict_y(model.params, model.train_data, x)
         m_s, v_s = dgp_mod.predict_y(model.params, x, key, num_samples)
         return _moment_matched(m_s, v_s)
 
@@ -80,7 +214,7 @@ class InfillCriteria:
         """Moment-matched latent-f moments (EI's analytic dgp branch,
         Infill_criteria.py:39-41)."""
         if model.name == "gpr":
-            return gpr_mod.predict_y(model.params, model.data, x)
+            return gpr_mod.predict_y(model.params, model.train_data, x)
         m_s, v_s = dgp_mod.predict_f(model.params, x, key, num_samples)
         return _moment_matched(m_s, v_s)
 
@@ -88,7 +222,7 @@ class InfillCriteria:
     def _samples(model, x, key, num_samples):
         """Last-layer MC samples [S, n, 1]."""
         if model.name == "gpr":
-            mean, var = gpr_mod.predict_y(model.params, model.data, x)
+            mean, var = gpr_mod.predict_y(model.params, model.train_data, x)
             z = jax.random.normal(key, (num_samples,) + mean.shape, mean.dtype)
             return mean[None] + jnp.sqrt(var)[None] * z
         Fs, _, _ = dgp_mod.propagate(model.params, x, key, num_samples)
@@ -96,24 +230,27 @@ class InfillCriteria:
 
     # -- generic DE + Adam optimizer over the sigmoid box map -----------------
     def _optimize_box(
-        self, loss_fn, bounds, popsize_DE=300, popstd_DE=1.5, iterations_DE=400,
-        init_adam=None, iterations_adam=1000, method="DE", key=None,
+        self, loss_fn, loss_args, bounds, popsize_DE=300, popstd_DE=1.5,
+        iterations_DE=400, init_adam=None, iterations_adam=1000, method="DE",
+        key=None,
     ):
-        """loss_fn: [P, d] (in the box) -> [P, 1]; returns x_opt [1, d]."""
+        """loss_fn(x [P, d] in the box, loss_args) -> [P, 1]; ``loss_fn``
+        must be a stable (factory-cached) object so the jitted DE/Adam
+        programs are reused across BO infills; returns x_opt [1, d]."""
         dtype = default_float()
         lw = jnp.broadcast_to(jnp.asarray(bounds[0], dtype=dtype), (self.d,))
         up = jnp.broadcast_to(jnp.asarray(bounds[1], dtype=dtype), (self.d,))
         key = key if key is not None else jax.random.PRNGKey(0)
 
-        def fct(V):
-            return loss_fn(sigmoid_box_map(lw, up, V))
+        fct = _boxed(loss_fn)
+        fct_args = (lw, up, loss_args)
 
         x_opt = None
         if method in ("DE", "DE+Adam"):
             res = de.minimize(
-                jax.jit(fct), jnp.zeros((self.d,), dtype=dtype), key,
+                fct, jnp.zeros((self.d,), dtype=dtype), key,
                 population_size=popsize_DE, population_stddev=popstd_DE,
-                max_iterations=iterations_DE,
+                max_iterations=iterations_DE, fn_args=fct_args,
             )
             x_opt = sigmoid_box_map(lw, up, res.position)
             self.IC_optimized = float(res.objective)
@@ -124,7 +261,8 @@ class InfillCriteria:
                 v0 = inverse_box_map(lw, up, x_opt)
             else:
                 v0 = jnp.zeros((self.d,), dtype=dtype)
-            v, obj = de.adam_refine(fct, v0, iterations=iterations_adam)
+            v, obj = de.adam_refine(fct, v0, iterations=iterations_adam,
+                                    fn_args=fct_args)
             x_opt = sigmoid_box_map(lw, up, v)
             self.IC_optimized = float(obj)
         if x_opt is None:
@@ -152,14 +290,21 @@ class EI(InfillCriteria):
         ei = jnp.mean(jnp.maximum(self.y_min - F, 0.0), axis=0)
         return -ei
 
+    def _default_loss_spec(self, model, key, analytic=True, num_samples=1000):
+        """(stable loss_fn, traced args) — run()'s semantics at its defaults
+        (the constrained combiners evaluate the IC at defaults,
+        Infill_criteria.py:284-289)."""
+        kind, state = _model_state(model)
+        return _ei_loss(kind, analytic, num_samples), (state, self.y_min, key)
+
     def optimize(self, model, bounds, popsize_DE=300, popstd_DE=1.5,
                  iterations_DE=400, init_adam=None, iterations_adam=1000,
                  method="DE", analytic=True, num_samples=1000, key=None):
         key = key if key is not None else jax.random.PRNGKey(0)
         key, sub = jax.random.split(key)
-        loss = lambda xb: self.run(model, xb, analytic=analytic,
-                                   num_samples=num_samples, key=sub)
-        return self._optimize_box(loss, bounds, popsize_DE, popstd_DE,
+        loss_fn, args = self._default_loss_spec(model, sub, analytic=analytic,
+                                                num_samples=num_samples)
+        return self._optimize_box(loss_fn, args, bounds, popsize_DE, popstd_DE,
                                   iterations_DE, init_adam, iterations_adam,
                                   method, key)
 
@@ -181,13 +326,19 @@ class WB2(InfillCriteria):
         ei = _expected_improvement(self.y_min, mean, var)
         return -(ei - mean)
 
+    def _default_loss_spec(self, model, key, analytic=True, num_samples=500):
+        kind, state = _model_state(model)
+        scale = jnp.asarray(getattr(self, "scale", 1.0), dtype=default_float())
+        return _wb2_loss(kind, num_samples), (state, self.y_min, scale, key)
+
     def optimize(self, model, bounds, popsize_DE=300, popstd_DE=1.5,
                  iterations_DE=400, init_adam=None, iterations_adam=1000,
                  method="DE", num_samples=500, key=None):
         key = key if key is not None else jax.random.PRNGKey(0)
         key, sub = jax.random.split(key)
-        loss = lambda xb: self.run(model, xb, num_samples=num_samples, key=sub)
-        return self._optimize_box(loss, bounds, popsize_DE, popstd_DE,
+        loss_fn, args = self._default_loss_spec(model, sub,
+                                                num_samples=num_samples)
+        return self._optimize_box(loss_fn, args, bounds, popsize_DE, popstd_DE,
                                   iterations_DE, init_adam, iterations_adam,
                                   method, key)
 
@@ -211,6 +362,7 @@ class WB2S(InfillCriteria):
         ei = _expected_improvement(self.y_min, mean, var)
         return -(self.scale * ei - mean)
 
+    _default_loss_spec = WB2._default_loss_spec
     optimize = WB2.optimize
 
 
@@ -279,11 +431,15 @@ class EV(InfillCriteria):
                          iterations_adam=1000, method="DE", key=None):
         key = key if key is not None else jax.random.PRNGKey(0)
         key, sub = jax.random.split(key)
-        loss = lambda xb: self.run_with_IC(
-            IC, model_Y, model_C, xb, threshold=threshold, analytic=analytic,
-            num_samples=num_samples, key=sub,
-        )
-        return self._optimize_box(loss, bounds, popsize_DE, popstd_DE,
+        k_ev, k_ei = jax.random.split(sub)
+        ic_loss, ic_args = IC._default_loss_spec(model_Y, k_ei)
+        kinds, states = zip(*(_model_state(m) for m in model_C))
+        loss_fn = _ev_ic_loss(ic_loss, tuple(kinds), analytic, num_samples)
+        dtype = default_float()
+        args = (ic_args, tuple(states),
+                jnp.asarray(self.zero_c, dtype=dtype),
+                jnp.asarray(threshold, dtype=dtype), k_ev)
+        return self._optimize_box(loss_fn, args, bounds, popsize_DE, popstd_DE,
                                   iterations_DE, init_adam, iterations_adam,
                                   method, key)
 
@@ -326,7 +482,13 @@ class PoF(InfillCriteria):
                          iterations_adam=1000, method="DE", key=None):
         key = key if key is not None else jax.random.PRNGKey(0)
         key, sub = jax.random.split(key)
-        loss = lambda xb: self.run_with_IC(IC, model_Y, model_C, xb, key=sub)
-        return self._optimize_box(loss, bounds, popsize_DE, popstd_DE,
+        k_pof, k_ei = jax.random.split(sub)
+        models = model_C if isinstance(model_C, (list, tuple)) else [model_C]
+        ic_loss, ic_args = IC._default_loss_spec(model_Y, k_ei)
+        kinds, states = zip(*(_model_state(m) for m in models))
+        loss_fn = _pof_ic_loss(ic_loss, tuple(kinds), 500)
+        args = (ic_args, tuple(states),
+                jnp.asarray(self.zero_c, dtype=default_float()), k_pof)
+        return self._optimize_box(loss_fn, args, bounds, popsize_DE, popstd_DE,
                                   iterations_DE, init_adam, iterations_adam,
                                   method, key)

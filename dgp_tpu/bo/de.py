@@ -28,8 +28,68 @@ class DEResult(NamedTuple):
     final_fitness: jnp.ndarray
 
 
+# Compiled-optimizer cache: a BO loop re-optimizes its acquisition every
+# infill; keying the jitted DE/Adam program on the (stable) objective function
+# and static hyperparameters — with the model state passed as a traced
+# ``fn_args`` pytree — makes every iteration after the first reuse the
+# compiled program (see models/training._ENGINE_CACHE for the training-side
+# counterpart).
+_ENGINE_CACHE: dict = {}
+
+
+def engine_cache_size() -> int:
+    return len(_ENGINE_CACHE)
+
+
+def clear_engine_cache() -> None:
+    _ENGINE_CACHE.clear()
+
+
+def _de_body(fn, with_args, population_size, population_stddev,
+             max_iterations, differential_weight, crossover_prob):
+    P = population_size
+
+    def run(x0, key, fn_args):
+        d = x0.shape[0]
+        key, k_init = jax.random.split(key)
+        noise = jax.random.normal(k_init, (P, d), dtype=x0.dtype) * population_stddev
+        pop = x0[None] + noise.at[0].set(0.0)
+
+        def eval_fn(p):
+            out = fn(p, fn_args) if with_args else fn(p)
+            return out.reshape(P)
+
+        fit = eval_fn(pop)
+
+        def gen(i, carry):
+            pop, fit, key = carry
+            key, k_idx, k_cross, k_jrand = jax.random.split(key, 4)
+            # rand/1: three random donors per member (tfp-style sampling; the
+            # rare self/duplicate draw only weakens one mutant for one round).
+            r = jax.random.randint(k_idx, (3, P), 0, P)
+            mutant = pop[r[0]] + differential_weight * (pop[r[1]] - pop[r[2]])
+            cross = jax.random.uniform(k_cross, (P, d)) < crossover_prob
+            jrand = jax.random.randint(k_jrand, (P,), 0, d)
+            force = jax.nn.one_hot(jrand, d, dtype=bool)
+            mask = jnp.logical_or(cross, force)
+            trial = jnp.where(mask, mutant, pop)
+            tfit = eval_fn(trial)
+            better = tfit < fit
+            pop = jnp.where(better[:, None], trial, pop)
+            fit = jnp.where(better, tfit, fit)
+            return pop, fit, key
+
+        pop, fit, _ = jax.lax.fori_loop(
+            0, max_iterations, gen, (pop, fit, key)
+        )
+        best = jnp.argmin(fit)
+        return DEResult(pop[best], fit[best], pop, fit)
+
+    return run
+
+
 def minimize(
-    fn: Callable[[jnp.ndarray], jnp.ndarray],
+    fn: Callable,
     initial_position,
     key,
     population_size: int = 300,
@@ -37,67 +97,43 @@ def minimize(
     max_iterations: int = 400,
     differential_weight: float = 0.5,
     crossover_prob: float = 0.9,
+    fn_args=None,
 ) -> DEResult:
     """Minimize ``fn`` over R^d.
 
-    :param fn: batched objective: [P, d] -> [P] (or [P, 1]).
+    :param fn: batched objective [P, d] -> [P] (or [P, 1]); with ``fn_args``
+        given the signature is ``fn(p, fn_args)`` and ``fn`` must be a stable
+        object — the whole jitted DE program is then cached on
+        (fn, hyperparameters) and re-used across calls.
     :param initial_position: [d] seed point.
     """
     x0 = jnp.asarray(initial_position)
-    d = x0.shape[0]
-    P = population_size
-    key, k_init = jax.random.split(key)
-    noise = jax.random.normal(k_init, (P, d), dtype=x0.dtype) * population_stddev
-    pop = x0[None] + noise.at[0].set(0.0)
-
-    def eval_fn(p):
-        out = fn(p)
-        return out.reshape(P)
-
-    fit = eval_fn(pop)
-
-    def gen(i, carry):
-        pop, fit, key = carry
-        key, k_idx, k_cross, k_jrand = jax.random.split(key, 4)
-        # rand/1: three random donors per member (tfp-style sampling; the
-        # rare self/duplicate draw only weakens one mutant for one round).
-        r = jax.random.randint(k_idx, (3, P), 0, P)
-        mutant = pop[r[0]] + differential_weight * (pop[r[1]] - pop[r[2]])
-        cross = jax.random.uniform(k_cross, (P, d)) < crossover_prob
-        jrand = jax.random.randint(k_jrand, (P,), 0, d)
-        force = jax.nn.one_hot(jrand, d, dtype=bool)
-        mask = jnp.logical_or(cross, force)
-        trial = jnp.where(mask, mutant, pop)
-        tfit = eval_fn(trial)
-        better = tfit < fit
-        pop = jnp.where(better[:, None], trial, pop)
-        fit = jnp.where(better, tfit, fit)
-        return pop, fit, key
-
-    pop, fit, _ = jax.lax.fori_loop(0, max_iterations, gen, (pop, fit, key))
-    best = jnp.argmin(fit)
-    return DEResult(pop[best], fit[best], pop, fit)
+    if fn_args is None:
+        run = _de_body(fn, False, population_size, population_stddev,
+                       max_iterations, differential_weight, crossover_prob)
+        return run(x0, key, None)
+    cache_key = ("de", fn, population_size, population_stddev,
+                 max_iterations, differential_weight, crossover_prob)
+    run = _ENGINE_CACHE.get(cache_key)
+    if run is None:
+        run = jax.jit(_de_body(fn, True, population_size, population_stddev,
+                               max_iterations, differential_weight,
+                               crossover_prob))
+        _ENGINE_CACHE[cache_key] = run
+    return run(x0, key, fn_args)
 
 
-def adam_refine(
-    fn: Callable[[jnp.ndarray], jnp.ndarray],
-    v0,
-    iterations: int = 1000,
-    lr: float = 0.01,
-):
-    """Adam refinement of a single point in the unconstrained space
-    (the reference's post-DE Adam loop, Infill_criteria.py:70-86)."""
+def _adam_body(fn, with_args, iterations, lr):
     import optax
 
-    v0 = jnp.asarray(v0)
     opt = optax.adam(lr)
 
-    def scalar_fn(v):
-        return fn(v[None]).reshape(())
+    def run(v0, fn_args):
+        def scalar_fn(v):
+            out = fn(v[None], fn_args) if with_args else fn(v[None])
+            return out.reshape(())
 
-    @jax.jit
-    def run(v):
-        state = opt.init(v)
+        state = opt.init(v0)
 
         def step(carry, _):
             v, state = carry
@@ -105,8 +141,31 @@ def adam_refine(
             updates, state = opt.update(g, state, v)
             return (optax.apply_updates(v, updates), state), loss
 
-        (v, _), losses = jax.lax.scan(step, (v, state), None, length=iterations)
+        (v, _), losses = jax.lax.scan(step, (v0, state), None, length=iterations)
         return v, losses
 
-    v, losses = run(v0)
+    return run
+
+
+def adam_refine(
+    fn: Callable,
+    v0,
+    iterations: int = 1000,
+    lr: float = 0.01,
+    fn_args=None,
+):
+    """Adam refinement of a single point in the unconstrained space
+    (the reference's post-DE Adam loop, Infill_criteria.py:70-86).
+    With ``fn_args``, same cached-engine contract as :func:`minimize`."""
+    v0 = jnp.asarray(v0)
+    if fn_args is None:
+        run = jax.jit(lambda v: _adam_body(fn, False, iterations, lr)(v, None))
+        v, losses = run(v0)
+        return v, losses[-1]
+    cache_key = ("adam", fn, iterations, lr)
+    run = _ENGINE_CACHE.get(cache_key)
+    if run is None:
+        run = jax.jit(_adam_body(fn, True, iterations, lr))
+        _ENGINE_CACHE[cache_key] = run
+    v, losses = run(v0, fn_args)
     return v, losses[-1]

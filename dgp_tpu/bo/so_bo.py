@@ -69,7 +69,7 @@ class SO_BO:
 
     def __init__(self, problem=None, X=None, Y=None, C=None, DoE_size=None,
                  model_Y_dic=None, model_C_dic=None, normalize_input=True,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, n_bucket: Optional[int] = None):
         if problem is None:
             raise ValueError("You have to specify a problem to optimize")
         if not isinstance(model_Y_dic, dict):
@@ -86,6 +86,11 @@ class SO_BO:
         self.model_Y_dic = model_Y_dic
         self.model_C_dic = model_C_dic
         self._seed = seed
+        # Pad surrogate training shapes (data rows, and the default Z of
+        # from-scratch DGP rebuilds) to multiples of n_bucket so the jitted
+        # training/acquisition programs stay compile-stable while the loop
+        # adds one point per infill (SURVEY.md §7.3).
+        self.n_bucket = n_bucket
 
         if DoE_size is None and X is None:
             raise ValueError(
@@ -174,7 +179,8 @@ class SO_BO:
             if not isinstance(kern_names, str):
                 raise ValueError("for num_layers=0, kernels must be a string")
             kernel = kernels_lib.by_name(kern_names, X.shape[1])
-            return GPR((X, Y), kernel, noise_variance=1e-5)
+            return GPR((X, Y), kernel, noise_variance=1e-5,
+                       n_bucket=self.n_bucket)
 
         num_samples = dic.get("num_samples")
         if num_samples is None:
@@ -198,8 +204,27 @@ class SO_BO:
         for l in range(num_layers + 1):
             units = X.shape[1] if l == 0 else num_units[l - 1]
             kernels.append(kernels_lib.by_name(kern_names[l], units))
-        return DGP(X, Y, X.copy(), kernels, num_units, Gaussian.create(1.0),
-                   num_samples=num_samples)
+        Z = self._bucketed_inducing(X)
+        return DGP(X, Y, Z, kernels, num_units, Gaussian.create(1.0),
+                   num_samples=num_samples, n_bucket=self.n_bucket)
+
+    def _bucketed_inducing(self, X):
+        """Default inducing set Z = X (SO_BO.py:202-248 passes the training
+        inputs), padded to the bucket with distinct in-range points so M only
+        changes at bucket boundaries (duplicate rows would make Kuu
+        singular). Extra inducing points only add variational capacity."""
+        if not self.n_bucket:
+            return X.copy()
+        from ..models.training import bucket_rows
+
+        n, d = X.shape
+        n_pad = bucket_rows(n, self.n_bucket)
+        if n_pad == n:
+            return X.copy()
+        rng = np.random.default_rng(self._seed or 0)
+        lo, hi = X.min(axis=0), X.max(axis=0)
+        extra = rng.uniform(size=(n_pad - n, d)) * (hi - lo) + lo
+        return np.concatenate([X, extra], axis=0)
 
     # -- training -----------------------------------------------------------------
     def train_model(self, model, iteration=3000):

@@ -10,6 +10,7 @@ API (``optimize_adam``, ``optimize_nat_adam``) on top of the jitted engines in
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Tuple
 
@@ -59,14 +60,27 @@ def predict_f(params: DGPParams, X, key, S: int, full_cov=False):
     return Fmeans[-1], Fvars[-1]
 
 
-def elbo(params: DGPParams, X, Y, key, num_samples: int, num_data: Optional[int] = None):
-    """Monte-Carlo ELBO (dgp.py:79-100): scale * sum_n E_q[log p(y|f)] - sum KL."""
+def elbo(params: DGPParams, X, Y, key, num_samples: int,
+         num_data: Optional[int] = None, row_weights=None):
+    """Monte-Carlo ELBO (dgp.py:79-100): scale * sum_n E_q[log p(y|f)] - sum KL.
+
+    :param num_data: full-dataset size when (X, Y) is a minibatch (may be a
+        traced scalar).
+    :param row_weights: optional [N] 0/1 weights — rows with weight 0 are
+        shape padding (training.pad_to_bucket) and contribute nothing to the
+        data term; the effective row count is sum(row_weights).
+    """
     Fmean, Fvar = predict_f(params, X, key, num_samples)
     var_exp = params.likelihood.variational_expectations(Fmean, Fvar, Y)  # [S,N,D]
-    L = jnp.sum(jnp.mean(var_exp, axis=0))
+    per_row = jnp.mean(var_exp, axis=0)  # [N, D]
+    if row_weights is None:
+        L = jnp.sum(per_row)
+        denom = X.shape[0]
+    else:
+        L = jnp.sum(row_weights[:, None] * per_row)
+        denom = jnp.sum(row_weights)
     kl = sum(layer_kl(layer, layer.z) for layer in params.layers)
-    n = X.shape[0]
-    scale = (num_data or n) / n
+    scale = 1.0 if num_data is None else num_data / denom
     return L * scale - kl
 
 
@@ -123,6 +137,50 @@ def set_qs(params: DGPParams, indices, qs) -> DGPParams:
     return params.replace(layers=tuple(layers))
 
 
+@functools.lru_cache(maxsize=None)
+def _qs_accessors(sel: tuple):
+    """Stable (get_qs, set_qs) pair for a layer selection — required for the
+    training engine cache to hit across optimize_nat_adam calls."""
+
+    def get(p):
+        return get_qs(p, sel)
+
+    def set_(p, qs):
+        return set_qs(p, sel, qs)
+
+    return get, set_
+
+
+# -- cached loss factories (stable objects => training engine cache hits) ------
+
+
+@functools.lru_cache(maxsize=None)
+def _full_batch_loss(num_samples: int):
+    """-ELBO over a full (possibly row-padded) batch; batch = (X, Y, w, n)."""
+
+    def loss(params, key, batch):
+        X, Y, w, num_data = batch
+        return -elbo(params, X, Y, key, num_samples,
+                     num_data=num_data, row_weights=w)
+
+    return loss
+
+
+@functools.lru_cache(maxsize=None)
+def _minibatch_loss(num_samples: int, batch_size: int):
+    """-ELBO over a uniform random minibatch; batch = (X, Y, n_true) where
+    n_true is a traced scalar so N changes don't recompile. Padded rows (if
+    any) sit past n_true and are never sampled."""
+
+    def loss(params, key, batch):
+        X, Y, n_true = batch
+        kb, ks = jax.random.split(key)
+        idx = jax.random.randint(kb, (batch_size,), 0, n_true)
+        return -elbo(params, X[idx], Y[idx], ks, num_samples, num_data=n_true)
+
+    return loss
+
+
 # -- stateful wrapper -----------------------------------------------------------
 
 
@@ -148,6 +206,7 @@ class DGP:
         white=False,
         num_samples=1,
         minibatch_size: Optional[int] = None,
+        n_bucket: Optional[int] = None,
         seed=0,
     ):
         dtype = default_float()
@@ -159,6 +218,7 @@ class DGP:
         self.params = DGPParams(layers=tuple(layers), likelihood=likelihood)
         self.num_samples = num_samples
         self.minibatch_size = minibatch_size
+        self.n_bucket = n_bucket
         self.data = (
             jnp.asarray(np.asarray(X), dtype=dtype),
             jnp.asarray(np.asarray(Y), dtype=dtype),
@@ -167,7 +227,7 @@ class DGP:
 
     @classmethod
     def from_layers(cls, X, Y, layers, likelihood=None, num_samples=1,
-                    minibatch_size=None, seed=0):
+                    minibatch_size=None, n_bucket=None, seed=0):
         """Build a DGP from a custom layer stack (the reference's direct
         ``DGP_Base(likelihood, layers)`` construction, dgp.py:21-32)."""
         self = cls.__new__(cls)
@@ -176,6 +236,7 @@ class DGP:
         self.params = DGPParams(layers=tuple(layers), likelihood=likelihood)
         self.num_samples = num_samples
         self.minibatch_size = minibatch_size
+        self.n_bucket = n_bucket
         self.data = (
             jnp.asarray(np.asarray(X), dtype=dtype),
             jnp.asarray(np.asarray(Y), dtype=dtype),
@@ -188,25 +249,28 @@ class DGP:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def _loss_fn(self):
-        """Negative ELBO; with ``minibatch_size`` set, each evaluation draws a
-        uniform random batch and rescales the data term to the full N (the
-        reference stores a ``minibatch_size`` it never consumes,
-        MF_DGP.py:88 — here it is live)."""
+    def _loss_spec(self):
+        """(loss_fn, batch) for the cached training engines.
+
+        With ``minibatch_size`` set, each evaluation draws a uniform random
+        batch and rescales the data term to the full N (the reference stores
+        a ``minibatch_size`` it never consumes, MF_DGP.py:88 — here it is
+        live). With ``n_bucket`` set, (X, Y) is padded to the next row bucket
+        so the jitted engine's shapes — and therefore its compilation — are
+        stable while a BO loop grows N one point at a time."""
         X, Y = self.data
         S = self.num_samples
         B = self.minibatch_size
         N = X.shape[0]
-        if B is None or B >= N:
-            def loss(params, key):
-                return -elbo(params, X, Y, key, S)
-        else:
-            def loss(params, key):
-                kb, ks = jax.random.split(key)
-                idx = jax.random.randint(kb, (B,), 0, N)
-                return -elbo(params, X[idx], Y[idx], ks, S, num_data=N)
-
-        return loss
+        if B is not None and B < N:
+            if self.n_bucket:
+                X, Y, _ = training.pad_to_bucket(X, Y, self.n_bucket)
+            n_true = jnp.asarray(N, dtype=jnp.int32)
+            return _minibatch_loss(S, B), (X, Y, n_true)
+        if self.n_bucket:
+            Xp, Yp, w = training.pad_to_bucket(X, Y, self.n_bucket)
+            return _full_batch_loss(S), (Xp, Yp, w, None)
+        return _full_batch_loss(S), (X, Y, None, None)
 
     # -- reference API ----------------------------------------------------------
     def ELBO(self):
@@ -254,10 +318,11 @@ class DGP:
         """Plain Adam on everything, inner q_sqrt shrunk 1e-3 (dgp.py:255-278)."""
         self.params = shrink_inner_q_sqrt(self.params)
         mask = training.make_mask(self.params)
+        loss_fn, batch = self._loss_spec()
         self.params, losses = training.adam_run(
-            self._loss_fn(), self.params, mask, self._next_key(),
+            loss_fn, self.params, mask, self._next_key(),
             steps=iterations, lr=lr, b1=beta_1, b2=beta_2, eps=epsilon,
-            messages=messages,
+            messages=messages, data=batch,
         )
         return losses
 
@@ -268,22 +333,22 @@ class DGP:
         """Two-phase Adam -> Adam+NatGrad training (dgp.py:280-345)."""
         self.params = shrink_inner_q_sqrt(self.params)
         n_layers = len(self.params.layers)
-        sel = list(range(n_layers)) if ng_all else [n_layers - 1]
+        sel = tuple(range(n_layers)) if ng_all else (n_layers - 1,)
         frozen = {i: {"q_mu", "q_sqrt"} for i in sel}
         euclid_mask = training.make_mask(self.params, frozen_layer_fields=frozen)
-        loss_fn = self._loss_fn()
+        loss_fn, batch = self._loss_spec()
+        get_q, set_q = _qs_accessors(sel)
 
         self.params, losses1 = training.adam_run(
             loss_fn, self.params, euclid_mask, self._next_key(),
             steps=iterations1, lr=lr_adam, b1=beta_1, b2=beta_2, eps=epsilon,
-            messages=messages,
+            messages=messages, data=batch,
         )
         self.params, losses2 = training.nat_adam_run(
             loss_fn, self.params, euclid_mask,
-            get_qs=lambda p: get_qs(p, sel),
-            set_qs=lambda p, qs: set_qs(p, sel, qs),
+            get_qs=get_q, set_qs=set_q,
             key=self._next_key(),
             steps=iterations2, lr_adam=lr_adam, gamma=lr_gamma,
-            b1=beta_1, b2=beta_2, eps=epsilon, messages=messages,
+            b1=beta_1, b2=beta_2, eps=epsilon, messages=messages, data=batch,
         )
         return jnp.concatenate([losses1, losses2]) if iterations1 else losses2

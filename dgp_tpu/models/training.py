@@ -113,42 +113,77 @@ def _grad_norm(grads):
     return jnp.sqrt(sum(leaves))
 
 
-def adam_run(
-    loss_fn,
-    params,
-    mask,
-    key,
-    steps: int,
-    lr=0.01,
-    b1=0.9,
-    b2=0.999,
-    eps=1e-7,
-    messages: int = 0,
-    label: str = "ELBO",
-    metrics_fn=None,
-):
-    """Run ``steps`` Adam iterations of ``loss_fn(params, key) -> scalar``.
+# -- compiled-engine cache ------------------------------------------------------
+#
+# A fresh ``@jax.jit`` closure per training call would recompile the whole
+# phase every time it runs — even at identical shapes. That is the dominant
+# wall-clock cost of a BO loop on TPU (SO_BO retrains its surrogates every
+# infill, BO/SO_BO.py:251-268 in the reference). Engines built here are cached
+# by (loss identity, mask signature, hyperparameters); the data batch is a
+# *traced argument* rather than a closed-over constant, so re-running with new
+# data of the same shape reuses the compiled program outright, and models can
+# keep shapes stable across infills by bucketing (models/dgp.py, models/gpr.py).
+#
+# Cache-hit requirement: ``loss_fn`` (and ``get_qs``/``set_qs`` for the natgrad
+# engine) must be *stable function objects* — produce them from module-level
+# ``lru_cache``d factories, not per-call lambdas.
 
-    Returns (params, losses [steps]) — or (params, metrics-dict) when
-    ``metrics_fn(params) -> dict`` is given; the dict then carries per-step
-    arrays for 'loss', 'grad_norm' and every metrics_fn entry (the structured
-    replacement for the reference's print-only logging, dgp.py:153-154).
-    One jitted lax.scan — the TPU-native equivalent of the eager loop at
-    dgp.py:147-154.
-    """
-    if steps <= 0:
-        empty = jnp.zeros((0,))
-        return params, ({"loss": empty} if metrics_fn else empty)
-    opt = masked_adam(mask, lr, b1, b2, eps)
+_ENGINE_CACHE: dict = {}
 
-    @jax.jit
-    def run(params, key):
+
+def _mask_signature(mask):
+    """Hashable identity of a boolean mask pytree (structure + values):
+    two masks with equal signatures produce identical masked optimizers."""
+    return (
+        jax.tree_util.tree_structure(mask),
+        tuple(bool(v) for v in jax.tree_util.tree_leaves(mask)),
+    )
+
+
+def engine_cache_size() -> int:
+    return len(_ENGINE_CACHE)
+
+
+def clear_engine_cache() -> None:
+    _ENGINE_CACHE.clear()
+
+
+def bucket_rows(n: int, bucket: int) -> int:
+    """Round n up to the next multiple of ``bucket``."""
+    return -(-n // bucket) * bucket
+
+
+def pad_to_bucket(X, Y, bucket: int):
+    """Pad (X [N,d], Y [N,p]) to the next row bucket; returns (Xp, Yp, w)
+    with w a 0/1 row-weight vector. Pad X rows repeat row 0 (finite kernel
+    inputs), pad Y rows are zero. Keeping N in shape buckets stops the
+    per-infill recompile of a growing BO dataset (XLA static shapes,
+    SURVEY.md §7.3 'Dynamic BO loop vs XLA static shapes')."""
+    n = X.shape[0]
+    n_pad = bucket_rows(n, bucket)
+    w = jnp.zeros((n_pad,), X.dtype).at[:n].set(1.0)
+    if n_pad == n:
+        return X, Y, w
+    pad = n_pad - n
+    Xp = jnp.concatenate([X, jnp.tile(X[:1], (pad, 1))], axis=0)
+    Yp = jnp.concatenate([Y, jnp.zeros((pad, Y.shape[1]), Y.dtype)], axis=0)
+    return Xp, Yp, w
+
+
+def _make_adam_engine(opt, loss_fn, steps, messages, label, metrics_fn, with_data):
+    """Jitted Adam scan; ``with_data`` selects the loss_fn arity
+    ((params, key) legacy vs (params, key, batch) cached-engine)."""
+
+    def body(params, key, batch):
         opt_state = opt.init(params)
 
         def step(carry, i):
             params, opt_state, key = carry
             key, sub = jax.random.split(key)
-            loss, grads = jax.value_and_grad(loss_fn)(params, sub)
+            if with_data:
+                loss, grads = jax.value_and_grad(loss_fn)(params, sub, batch)
+            else:
+                loss, grads = jax.value_and_grad(loss_fn)(params, sub)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             if messages:
@@ -169,7 +204,61 @@ def adam_run(
         )
         return params, trace
 
-    return run(params, key)
+    if with_data:
+        return jax.jit(body)
+    return jax.jit(lambda params, key: body(params, key, None))
+
+
+def adam_run(
+    loss_fn,
+    params,
+    mask,
+    key,
+    steps: int,
+    lr=0.01,
+    b1=0.9,
+    b2=0.999,
+    eps=1e-7,
+    messages: int = 0,
+    label: str = "ELBO",
+    metrics_fn=None,
+    data=None,
+):
+    """Run ``steps`` Adam iterations.
+
+    Returns (params, losses [steps]) — or (params, metrics-dict) when
+    ``metrics_fn(params) -> dict`` is given; the dict then carries per-step
+    arrays for 'loss', 'grad_norm' and every metrics_fn entry (the structured
+    replacement for the reference's print-only logging, dgp.py:153-154).
+    One jitted lax.scan — the TPU-native equivalent of the eager loop at
+    dgp.py:147-154.
+
+    Two calling conventions:
+    * ``data=None`` (legacy): ``loss_fn(params, key) -> scalar``; a fresh
+      engine is compiled per call.
+    * ``data`` given: ``loss_fn(params, key, data) -> scalar`` with ``data``
+      a traced pytree; the compiled engine is cached on
+      (loss_fn, mask, hyperparameters) — loss_fn must be a stable object
+      (lru_cache'd factory) for the cache to hit.
+    """
+    if steps <= 0:
+        empty = jnp.zeros((0,))
+        return params, ({"loss": empty} if metrics_fn else empty)
+    if data is None:
+        opt = masked_adam(mask, lr, b1, b2, eps)
+        run = _make_adam_engine(opt, loss_fn, steps, messages, label,
+                                metrics_fn, with_data=False)
+        return run(params, key)
+
+    cache_key = ("adam", loss_fn, _mask_signature(mask), steps, lr, b1, b2,
+                 eps, messages, label, metrics_fn)
+    run = _ENGINE_CACHE.get(cache_key)
+    if run is None:
+        opt = masked_adam(mask, lr, b1, b2, eps)
+        run = _make_adam_engine(opt, loss_fn, steps, messages, label,
+                                metrics_fn, with_data=True)
+        _ENGINE_CACHE[cache_key] = run
+    return run(params, key, data)
 
 
 def nat_adam_run(
@@ -187,6 +276,7 @@ def nat_adam_run(
     eps=1e-7,
     messages: int = 0,
     label: str = "ELBO",
+    data=None,
 ):
     """Interleaved Adam + NaturalGradient phase (dgp.py:209-220).
 
@@ -197,38 +287,60 @@ def nat_adam_run(
 
     :param get_qs: params -> list of (q_mu, q_sqrt) receiving natural grads.
     :param set_qs: (params, list) -> params.
+    :param data: optional traced batch pytree; when given,
+        ``loss_fn(params, key, data)`` and the engine is cached on
+        (loss_fn, get_qs, set_qs, mask, hyperparameters) — all three callables
+        must be stable objects for the cache to hit.
     """
     if steps <= 0:
         return params, jnp.zeros((0,))
-    opt = masked_adam(euclid_mask, lr_adam, b1, b2, eps)
 
-    @jax.jit
-    def run(params, key):
-        opt_state = opt.init(params)
+    def make_engine(opt, with_data):
+        def body(params, key, batch):
+            opt_state = opt.init(params)
 
-        def step(carry, i):
-            params, opt_state, key = carry
-            key, k_adam, k_nat = jax.random.split(key, 3)
-            loss, grads = jax.value_and_grad(loss_fn)(params, k_adam)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            def eval_loss(p, k):
+                return loss_fn(p, k, batch) if with_data else loss_fn(p, k)
 
-            def nat_loss(qs):
-                return loss_fn(set_qs(params, qs), k_nat)
+            def step(carry, i):
+                params, opt_state, key = carry
+                key, k_adam, k_nat = jax.random.split(key, 3)
+                loss, grads = jax.value_and_grad(eval_loss)(params, k_adam)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
 
-            new_qs = natgrad_step_multi(get_qs(params), nat_loss, gamma)
-            params = set_qs(params, new_qs)
-            if messages:
-                jax.lax.cond(
-                    i % messages == 0,
-                    lambda: jax.debug.print(label + ": {v}", v=-loss),
-                    lambda: None,
-                )
-            return (params, opt_state, key), loss
+                def nat_loss(qs):
+                    return eval_loss(set_qs(params, qs), k_nat)
 
-        (params, _, _), losses = jax.lax.scan(
-            step, (params, opt_state, key), jnp.arange(steps)
-        )
-        return params, losses
+                new_qs = natgrad_step_multi(get_qs(params), nat_loss, gamma)
+                params = set_qs(params, new_qs)
+                if messages:
+                    jax.lax.cond(
+                        i % messages == 0,
+                        lambda: jax.debug.print(label + ": {v}", v=-loss),
+                        lambda: None,
+                    )
+                return (params, opt_state, key), loss
 
-    return run(params, key)
+            (params, _, _), losses = jax.lax.scan(
+                step, (params, opt_state, key), jnp.arange(steps)
+            )
+            return params, losses
+
+        if with_data:
+            return jax.jit(body)
+        return jax.jit(lambda params, key: body(params, key, None))
+
+    if data is None:
+        opt = masked_adam(euclid_mask, lr_adam, b1, b2, eps)
+        return make_engine(opt, with_data=False)(params, key)
+
+    cache_key = ("nat_adam", loss_fn, get_qs, set_qs,
+                 _mask_signature(euclid_mask), steps, lr_adam, gamma,
+                 b1, b2, eps, messages, label)
+    run = _ENGINE_CACHE.get(cache_key)
+    if run is None:
+        opt = masked_adam(euclid_mask, lr_adam, b1, b2, eps)
+        run = make_engine(opt, with_data=True)
+        _ENGINE_CACHE[cache_key] = run
+    return run(params, key, data)
