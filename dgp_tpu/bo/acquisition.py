@@ -344,26 +344,72 @@ class WB2(InfillCriteria):
 
 
 class WB2S(InfillCriteria):
-    """WB2S = scale*EI - mean. The reference's per-point sigmoid scale is
-    replaced by an explicit ``scale`` (its GPR branch referenced an undefined
-    variable, Infill_criteria.py:198)."""
+    """WB2S = scale*EI - mean with the literature's adaptive scale
+    (Bartoli et al. 2019, "Adaptive modeling strategy for constrained global
+    optimization..."): s = beta * |mean(x*_EI)| / EI(x*_EI) where x*_EI is
+    the EI maximizer, so the EI term stays comparable to the exploitation
+    term; s falls back to 1 when EI* ~ 0.
+
+    The reference's implementation is broken — its GPR branch references an
+    undefined variable (Infill_criteria.py:198) — so ``scale`` here is either
+    'auto' (adaptive, resolved per :meth:`optimize`/:meth:`resolve_scale`
+    call) or an explicit number."""
 
     name = "WB2S criterion"
 
-    def __init__(self, y_min, d, scale=1.0):
+    def __init__(self, y_min, d, scale="auto", beta=100.0):
         super().__init__(d)
         self.y_min = jnp.asarray(y_min, dtype=default_float()).reshape(())
         self.scale = scale
+        self.beta = beta
+        self._scale_value = None if isinstance(scale, str) else float(scale)
+
+    def resolve_scale(self, model, bounds, key=None, popsize_DE=100,
+                      iterations_DE=100, num_samples=500):
+        """Compute (and cache) the adaptive s from a short EI
+        pre-optimization; no-op when a numeric scale was given."""
+        if self._scale_value is not None:
+            return self._scale_value
+        key = key if key is not None else jax.random.PRNGKey(0)
+        k_opt, k_mean = jax.random.split(key)
+        ei = EI(self.y_min, self.d)
+        x_star = ei.optimize(model, bounds, popsize_DE=popsize_DE,
+                             iterations_DE=iterations_DE, method="DE",
+                             key=k_opt)
+        ei_star = -ei.IC_optimized  # optimize minimizes -EI
+        mean_star, _ = self._predict_y_moments(
+            model, jnp.asarray(x_star, dtype=default_float()), k_mean,
+            num_samples)
+        m_abs = float(np.abs(np.asarray(mean_star)).reshape(-1)[0])
+        self._scale_value = (
+            self.beta * m_abs / ei_star if ei_star > 1e-300 else 1.0
+        )
+        return self._scale_value
+
+    def _effective_scale(self):
+        return 1.0 if self._scale_value is None else self._scale_value
 
     def run(self, model, x, num_samples=500, key=None):
         key = key if key is not None else jax.random.PRNGKey(0)
         x = jnp.asarray(x, dtype=default_float())
         mean, var = self._predict_y_moments(model, x, key, num_samples)
         ei = _expected_improvement(self.y_min, mean, var)
-        return -(self.scale * ei - mean)
+        return -(self._effective_scale() * ei - mean)
 
-    _default_loss_spec = WB2._default_loss_spec
-    optimize = WB2.optimize
+    def _default_loss_spec(self, model, key, analytic=True, num_samples=500):
+        kind, state = _model_state(model)
+        scale = jnp.asarray(self._effective_scale(), dtype=default_float())
+        return _wb2_loss(kind, num_samples), (state, self.y_min, scale, key)
+
+    def optimize(self, model, bounds, popsize_DE=300, popstd_DE=1.5,
+                 iterations_DE=400, init_adam=None, iterations_adam=1000,
+                 method="DE", num_samples=500, key=None):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        key, k_scale = jax.random.split(key)
+        self.resolve_scale(model, bounds, key=k_scale)
+        return WB2.optimize(self, model, bounds, popsize_DE, popstd_DE,
+                            iterations_DE, init_adam, iterations_adam,
+                            method, num_samples, key)
 
 
 class EV_one_constraint(InfillCriteria):

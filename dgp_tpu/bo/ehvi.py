@@ -14,6 +14,7 @@ population_size swapped into tfp (EHVI.py:216).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -111,13 +112,28 @@ def psi(a, b, mu, sigma):
 # -- model moments/samples -------------------------------------------------------
 
 
-def _mo_moments_and_samples(model_Y, Xcand, S, key, need_samples):
-    """(mean0, var0, mean1, var1, samples [S, n, 2] or None)."""
-    Xcand = jnp.asarray(Xcand, dtype=default_float())
+def _mo_model_state(model_Y):
+    """(kind, static_info, traced params-state) for the supported MO model
+    forms — the pure counterpart of the object dispatch, enabling cached
+    jitted EHVI programs (bo/de._ENGINE_CACHE)."""
     if isinstance(model_Y, (list, tuple)):
+        return "two_dgp", None, (model_Y[0].params, model_Y[1].params)
+    if getattr(model_Y, "name", None) == "mo_dgp":
+        return "mo_dgp", model_Y.loop, model_Y.params
+    raise ValueError(
+        "model_Y must be a list of two DGPs or a MultiObjDeepGP (the "
+        "reference's TF1 'coreg' branch is not supported)"
+    )
+
+
+def _mo_moments_and_samples_pure(kind, loop, state, Xcand, S, key,
+                                 need_samples):
+    """(mean0, var0, mean1, var1, samples [S, n, 2] or None)."""
+    if kind == "two_dgp":
+        p0, p1 = state
         k0, k1 = jax.random.split(key)
-        Fs0, Fm0, Fv0 = dgp_mod.propagate(model_Y[0].params, Xcand, k0, S)
-        Fs1, Fm1, Fv1 = dgp_mod.propagate(model_Y[1].params, Xcand, k1, S)
+        Fs0, Fm0, Fv0 = dgp_mod.propagate(p0, Xcand, k0, S)
+        Fs1, Fm1, Fv1 = dgp_mod.propagate(p1, Xcand, k1, S)
         m0 = jnp.mean(Fm0[-1], axis=0)
         v0 = jnp.mean(Fv0[-1] + Fm0[-1] ** 2, axis=0) - m0**2
         m1 = jnp.mean(Fm1[-1], axis=0)
@@ -126,24 +142,17 @@ def _mo_moments_and_samples(model_Y, Xcand, S, key, need_samples):
             jnp.concatenate([Fs0[-1], Fs1[-1]], axis=2) if need_samples else None
         )
         return m0, v0, m1, v1, samples
-    if getattr(model_Y, "name", None) == "mo_dgp":
-        from ..models import mo_dgp as mo_mod
+    from ..models import mo_dgp as mo_mod
 
-        Fs, Fms, Fvs = mo_mod.propagate(
-            model_Y.params, Xcand, key, S, loop=model_Y.loop
-        )
-        m0 = jnp.mean(Fms[-2], axis=0)
-        v0 = jnp.mean(Fvs[-2] + Fms[-2] ** 2, axis=0) - m0**2
-        m1 = jnp.mean(Fms[-1], axis=0)
-        v1 = jnp.mean(Fvs[-1] + Fms[-1] ** 2, axis=0) - m1**2
-        samples = (
-            jnp.concatenate([Fs[-2], Fs[-1]], axis=2) if need_samples else None
-        )
-        return m0, v0, m1, v1, samples
-    raise ValueError(
-        "model_Y must be a list of two DGPs or a MultiObjDeepGP (the "
-        "reference's TF1 'coreg' branch is not supported)"
+    Fs, Fms, Fvs = mo_mod.propagate(state, Xcand, key, S, loop=loop)
+    m0 = jnp.mean(Fms[-2], axis=0)
+    v0 = jnp.mean(Fvs[-2] + Fms[-2] ** 2, axis=0) - m0**2
+    m1 = jnp.mean(Fms[-1], axis=0)
+    v1 = jnp.mean(Fvs[-1] + Fms[-1] ** 2, axis=0) - m1**2
+    samples = (
+        jnp.concatenate([Fs[-2], Fs[-1]], axis=2) if need_samples else None
     )
+    return m0, v0, m1, v1, samples
 
 
 # -- EHVI estimators ---------------------------------------------------------------
@@ -158,14 +167,23 @@ def EHVI(model_Y, Xcand, YND, corr=False, approximation="None", S=1000,
     :return: [n_cand, 1]
     """
     key = key if key is not None else jax.random.PRNGKey(0)
+    kind, loop, state = _mo_model_state(model_Y)
+    Xcand = jnp.asarray(Xcand, dtype=default_float())
     Y0 = jnp.asarray(np.asarray(YND[0]).reshape(-1), dtype=default_float())
     Y1 = jnp.asarray(np.asarray(YND[1]).reshape(-1), dtype=default_float())
+    return _ehvi_pure(kind, loop, corr, approximation, S,
+                      state, Xcand, Y0, Y1, key)
+
+
+def _ehvi_pure(kind, loop, corr, approximation, S, state, Xcand, Y0, Y1, key):
+    """Traceable EHVI core: everything iteration-dependent (model params,
+    candidates, padded front, key) is a traced argument."""
     n = Y0.shape[0]
     need_samples = (approximation == "KDE") or (
         approximation == "Gaussian" and corr
     )
-    m0, v0, m1, v1, samples = _mo_moments_and_samples(
-        model_Y, Xcand, S, key, need_samples
+    m0, v0, m1, v1, samples = _mo_moments_and_samples_pure(
+        kind, loop, state, Xcand, S, key, need_samples
     )
     m0, v0, m1, v1 = m0[:, 0], v0[:, 0], m1[:, 0], v1[:, 0]
     s0, s1 = jnp.sqrt(v0), jnp.sqrt(v1)
@@ -263,6 +281,21 @@ def EHVI(model_Y, Xcand, YND, corr=False, approximation="None", S=1000,
     raise ValueError(f"unknown approximation {approximation!r}")
 
 
+@functools.lru_cache(maxsize=None)
+def _neg_ehvi_loss(kind, loop, corr, approximation, S):
+    """Stable -EHVI objective over the sigmoid box map for the cached DE/Adam
+    engines; args = (lw, up, model-state, Y0, Y1, key). The front length only
+    forces a (cached) retrace when it crosses a new size."""
+
+    def loss(V, args):
+        lw, up, state, Y0, Y1, key = args
+        x = sigmoid_box_map(lw, up, V)
+        return -_ehvi_pure(kind, loop, corr, approximation, S,
+                           state, x, Y0, Y1, key).reshape(-1)
+
+    return loss
+
+
 def optimize_EHVI(model, YND, popsize_DE=300, popstd_DE=1.5, iterations_DE=400,
                   init_adam=None, lr_adam=0.01, iterations_adam=1000,
                   method="DE", corr=False, approximation="None", S=1000,
@@ -280,17 +313,18 @@ def optimize_EHVI(model, YND, popsize_DE=300, popstd_DE=1.5, iterations_DE=400,
     up = jnp.full((d,), bounds[1], dtype=dtype)
     key, k_mc, k_de = jax.random.split(key, 3)
 
-    def fct(V):
-        x = sigmoid_box_map(lw, up, V)
-        return -EHVI(model, x, YND, corr=corr, approximation=approximation,
-                     S=S, key=k_mc).reshape(-1)
+    kind, loop, state = _mo_model_state(model)
+    fct = _neg_ehvi_loss(kind, loop, corr, approximation, S)
+    Y0 = jnp.asarray(np.asarray(YND[0]).reshape(-1), dtype=dtype)
+    Y1 = jnp.asarray(np.asarray(YND[1]).reshape(-1), dtype=dtype)
+    fct_args = (lw, up, state, Y0, Y1, k_mc)
 
     x_opt = None
     if method in ("DE", "DE+Adam"):
-        res = de.minimize(jax.jit(fct), jnp.zeros((d,), dtype=dtype), k_de,
+        res = de.minimize(fct, jnp.zeros((d,), dtype=dtype), k_de,
                           population_size=popsize_DE,
                           population_stddev=popstd_DE,
-                          max_iterations=iterations_DE)
+                          max_iterations=iterations_DE, fn_args=fct_args)
         x_opt = sigmoid_box_map(lw, up, res.position)
     if method in ("Adam", "DE+Adam"):
         from .acquisition import inverse_box_map
@@ -301,7 +335,8 @@ def optimize_EHVI(model, YND, popsize_DE=300, popstd_DE=1.5, iterations_DE=400,
             v0 = inverse_box_map(lw, up, x_opt)
         else:
             v0 = jnp.zeros((d,), dtype=dtype)
-        v, _ = de.adam_refine(fct, v0, iterations=iterations_adam, lr=lr_adam)
+        v, _ = de.adam_refine(fct, v0, iterations=iterations_adam, lr=lr_adam,
+                              fn_args=fct_args)
         x_opt = sigmoid_box_map(lw, up, v)
     if x_opt is None:
         raise ValueError(f"unknown method {method!r}")

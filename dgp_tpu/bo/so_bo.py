@@ -285,6 +285,12 @@ class SO_BO:
             else:
                 raise ValueError(f"unknown IC {IC!r}")
 
+            if isinstance(self.IC, WB2S):
+                # adaptive s is resolved from the unconstrained EI maximizer
+                # once per infill (fresh y_min => fresh IC object)
+                key, k_scale = jax.random.split(key)
+                self.IC.resolve_scale(self.model_Y, bounds, key=k_scale)
+
             key, sub = jax.random.split(key)
             if self.problem.constraint:
                 if constraint_handling == "PoF":

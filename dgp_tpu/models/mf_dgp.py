@@ -21,6 +21,7 @@ variant does, utils/layers.py:171-178).
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -41,6 +42,18 @@ from ..ops.likelihoods import Gaussian, fidelity_variational_expectations
 from . import training
 from ._jit import maybe_jit
 from .dgp import moment_matched
+
+
+@functools.lru_cache(maxsize=None)
+def _mf_loss(num_samples: int):
+    """Stable -ELBO object for the cached training engines;
+    batch = (Xs tuple, Ys tuple)."""
+
+    def loss(params, key, batch):
+        Xs, Ys = batch
+        return -elbo(params, Xs, Ys, key, num_samples)
+
+    return loss
 
 
 class MFDGPParams(struct.PyTreeNode):
@@ -258,14 +271,11 @@ class MultiFidelityDeepGP:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def _loss_fn(self):
-        Xs, Ys = tuple(self._X), tuple(self._Y)
-        S = self.num_samples
-
-        def loss(params, key):
-            return -elbo(params, Xs, Ys, key, S)
-
-        return loss
+    def _loss_spec(self):
+        """(stable loss_fn, traced batch) — see training._ENGINE_CACHE: a
+        fresh instance at the same shapes (e.g. the 20-seed benchmark
+        harness, nb_mfdgp_improved cell 4) reuses the compiled engines."""
+        return _mf_loss(self.num_samples), (tuple(self._X), tuple(self._Y))
 
     def objective(self):
         return _elbo_jit(self.params, tuple(self._X), tuple(self._Y),
@@ -347,7 +357,7 @@ class MultiFidelityDeepGP:
         for Adam instead of natural gradients."""
         self._init_variational(q_sqrt_scale)
         traces = []
-        loss_fn = self._loss_fn()
+        loss_fn, batch = self._loss_spec()
         m1, m2, _ = self._phase_masks()
         m3 = training.make_mask(self.params)  # everything (but means)
         for steps, mask in ((iterations1, m1), (iterations2, m2),
@@ -355,6 +365,7 @@ class MultiFidelityDeepGP:
             self.params, _ls = training.adam_run(
                 loss_fn, self.params, mask, self._next_key(), steps=steps,
                 lr=lr, b1=beta_1, b2=beta_2, eps=epsilon, messages=messages,
+                data=batch,
             )
             traces.append(_ls)
         return jnp.concatenate([jnp.ravel(t) for t in traces]) if traces else jnp.zeros((0,))
@@ -364,31 +375,32 @@ class MultiFidelityDeepGP:
                           beta_2=0.999, epsilon=1e-7, messages=500,
                           q_sqrt_scale=1e-2):
         """3-phase Adam -> +inducing -> Adam+NatGrad (MF_DGP.py:426-519)."""
-        from .dgp import get_qs, set_qs
+        from .dgp import _qs_accessors
 
         self._init_variational(q_sqrt_scale)
         traces = []
-        loss_fn = self._loss_fn()
+        loss_fn, batch = self._loss_spec()
         m1, m2, m3 = self._phase_masks()
         self.params, _ls = training.adam_run(
             loss_fn, self.params, m1, self._next_key(), steps=iterations1,
             lr=lr_adam, b1=beta_1, b2=beta_2, eps=epsilon, messages=messages,
+            data=batch,
         )
         traces.append(_ls)
         self.params, _ls = training.adam_run(
             loss_fn, self.params, m2, self._next_key(), steps=iterations2,
             lr=lr_adam, b1=beta_1, b2=beta_2, eps=epsilon, messages=messages,
+            data=batch,
         )
         traces.append(_ls)
         # phase 3: likelihood variance unfrozen; NatGrad on all layers' q
-        sel = list(range(len(self.params.layers)))
+        get_q, set_q = _qs_accessors(tuple(range(len(self.params.layers))))
         self.params, _ls = training.nat_adam_run(
             loss_fn, self.params, m3,
-            get_qs=lambda p: get_qs(p, sel),
-            set_qs=lambda p, qs: set_qs(p, sel, qs),
+            get_qs=get_q, set_qs=set_q,
             key=self._next_key(), steps=iterations3, lr_adam=lr_adam,
             gamma=lr_gamma, b1=beta_1, b2=beta_2, eps=epsilon,
-            messages=messages,
+            messages=messages, data=batch,
         )
         traces.append(_ls)
         return jnp.concatenate([jnp.ravel(t) for t in traces]) if traces else jnp.zeros((0,))

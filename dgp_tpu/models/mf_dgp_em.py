@@ -18,6 +18,7 @@ produced with it.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -280,6 +281,42 @@ _project_jit = maybe_jit(project, static_argnums=(3, 4, 5))
 _predict_y_jit = maybe_jit(predict_y, static_argnums=(3, 4))
 
 
+@functools.lru_cache(maxsize=None)
+def _em_loss(num_samples: int):
+    """Stable -ELBO object for the cached training engines;
+    batch = (Xs tuple, Ys tuple, X_red tuple)."""
+
+    def loss(params, key, batch):
+        Xs, Ys, Xr = batch
+        return -elbo(params, Xs, Ys, Xr, key, num_samples)
+
+    return loss
+
+
+@functools.lru_cache(maxsize=None)
+def _em_qs_accessors(n_fid: int, n_red: int):
+    """Stable natural-gradient accessors over both the fidelity and the
+    reduction layers' q (MF_DGP_EM.py:501-578 phase 3)."""
+
+    def get(p):
+        qs = [(p.layers[i].q_mu, p.layers[i].q_sqrt) for i in range(n_fid)]
+        qs += [(p.layers_red[i].q_mu, p.layers_red[i].q_sqrt)
+               for i in range(n_red)]
+        return qs
+
+    def set_(p, qs):
+        layers = list(p.layers)
+        for i in range(n_fid):
+            layers[i] = layers[i].replace(q_mu=qs[i][0], q_sqrt=qs[i][1])
+        layers_red = list(p.layers_red)
+        for i in range(n_red):
+            q_mu, q_sqrt = qs[n_fid + i]
+            layers_red[i] = layers_red[i].replace(q_mu=q_mu, q_sqrt=q_sqrt)
+        return p.replace(layers=tuple(layers), layers_red=tuple(layers_red))
+
+    return get, set_
+
+
 class MultiFidelityDeepGP_EM:
     """Reference-parity wrapper (MF_DGP_EM.py:383-596).
 
@@ -323,15 +360,11 @@ class MultiFidelityDeepGP_EM:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def _loss_fn(self):
-        Xs, Ys = tuple(self._X), tuple(self._Y)
-        Xr = tuple(self._X_red)
-        S = self.num_samples
-
-        def loss(params, key):
-            return -elbo(params, Xs, Ys, Xr, key, S)
-
-        return loss
+    def _loss_spec(self):
+        """(stable loss_fn, traced batch) for the cached training engines
+        (training._ENGINE_CACHE)."""
+        return (_em_loss(self.num_samples),
+                (tuple(self._X), tuple(self._Y), tuple(self._X_red)))
 
     def objective(self):
         return _elbo_jit(self.params, tuple(self._X), tuple(self._Y),
@@ -418,7 +451,7 @@ class MultiFidelityDeepGP_EM:
         gradients over both the fidelity and the reduction layers' q."""
         self._init_variational()
         traces = []
-        loss_fn = self._loss_fn()
+        loss_fn, batch = self._loss_spec()
         q = {"q_mu", "q_sqrt"}
         lik = {"likelihood", "likelihood_projection"}
         # phase 1: kernels + reduction inducing only
@@ -437,38 +470,23 @@ class MultiFidelityDeepGP_EM:
         self.params, _ls = training.adam_run(
             loss_fn, self.params, m1, self._next_key(), steps=iterations1,
             lr=lr_adam, b1=beta_1, b2=beta_2, eps=epsilon, messages=messages,
+            data=batch,
         )
         traces.append(_ls)
         self.params, _ls = training.adam_run(
             loss_fn, self.params, m2, self._next_key(), steps=iterations2,
             lr=lr_adam, b1=beta_1, b2=beta_2, eps=epsilon, messages=messages,
+            data=batch,
         )
         traces.append(_ls)
 
-        n_fid = len(self.params.layers)
-        n_red = len(self.params.layers_red)
-
-        def get_qs(p):
-            qs = [(p.layers[i].q_mu, p.layers[i].q_sqrt) for i in range(n_fid)]
-            qs += [(p.layers_red[i].q_mu, p.layers_red[i].q_sqrt)
-                   for i in range(n_red)]
-            return qs
-
-        def set_qs(p, qs):
-            layers = list(p.layers)
-            for i in range(n_fid):
-                layers[i] = layers[i].replace(q_mu=qs[i][0], q_sqrt=qs[i][1])
-            layers_red = list(p.layers_red)
-            for i in range(n_red):
-                q_mu, q_sqrt = qs[n_fid + i]
-                layers_red[i] = layers_red[i].replace(q_mu=q_mu, q_sqrt=q_sqrt)
-            return p.replace(layers=tuple(layers), layers_red=tuple(layers_red))
-
+        get_q, set_q = _em_qs_accessors(len(self.params.layers),
+                                        len(self.params.layers_red))
         self.params, _ls = training.nat_adam_run(
-            loss_fn, self.params, m3, get_qs=get_qs, set_qs=set_qs,
+            loss_fn, self.params, m3, get_qs=get_q, set_qs=set_q,
             key=self._next_key(), steps=iterations3, lr_adam=lr_adam,
             gamma=lr_gamma, b1=beta_1, b2=beta_2, eps=epsilon,
-            messages=messages,
+            messages=messages, data=batch,
         )
         traces.append(_ls)
         return jnp.concatenate([jnp.ravel(t) for t in traces]) if traces else jnp.zeros((0,))
@@ -480,7 +498,7 @@ class MultiFidelityDeepGP_EM:
         fidelity q and the model likelihood."""
         self._init_variational(q_scale_fid=1e-2, q_scale_red=1e-2)
         traces = []
-        loss_fn = self._loss_fn()
+        loss_fn, batch = self._loss_spec()
         q = {"q_mu", "q_sqrt"}
         lik = {"likelihood", "likelihood_projection"}
         m1 = training.make_mask(
@@ -502,6 +520,7 @@ class MultiFidelityDeepGP_EM:
             self.params, _ls = training.adam_run(
                 loss_fn, self.params, mask, self._next_key(), steps=steps,
                 lr=lr, b1=beta_1, b2=beta_2, eps=epsilon, messages=messages,
+                data=batch,
             )
             traces.append(_ls)
         return jnp.concatenate([jnp.ravel(t) for t in traces]) if traces else jnp.zeros((0,))

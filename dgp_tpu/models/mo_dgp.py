@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -156,6 +158,18 @@ _propagate_jit = maybe_jit(propagate, static_argnums=(3, 4, 5))
 _predict_f_jit = maybe_jit(predict_f, static_argnums=(3, 4, 5, 6))
 
 
+@functools.lru_cache(maxsize=None)
+def _mo_loss(num_samples: int, loop: int):
+    """Stable -ELBO object for the cached training engines;
+    batch = (Xs tuple, Ys tuple)."""
+
+    def loss(params, key, batch):
+        Xs, Ys = batch
+        return -elbo(params, Xs, Ys, key, num_samples, loop=loop)
+
+    return loss
+
+
 class MultiObjDeepGP:
     """Reference-parity wrapper (MO_DGP.py:305-512). Default inducing points:
     Z[0] = [X, Y_2], Z[1] = X (MO_DGP.py:495-512)."""
@@ -188,14 +202,11 @@ class MultiObjDeepGP:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def _loss_fn(self):
-        Xs, Ys = tuple(self._X), tuple(self._Y)
-        S, loop = self.num_samples, self.loop
-
-        def loss(params, key):
-            return -elbo(params, Xs, Ys, key, S, loop=loop)
-
-        return loss
+    def _loss_spec(self):
+        """(stable loss_fn, traced batch) for the cached training engines
+        (training._ENGINE_CACHE)."""
+        return (_mo_loss(self.num_samples, self.loop),
+                (tuple(self._X), tuple(self._Y)))
 
     def objective(self):
         return _elbo_jit(self.params, tuple(self._X), tuple(self._Y),
@@ -257,11 +268,11 @@ class MultiObjDeepGP:
                           iterations2=5000, iterations3=7500, messages=500,
                           q_sqrt_scale=1e-2):
         """3-phase training (MO_DGP.py:418-494)."""
-        from .dgp import get_qs, set_qs
+        from .dgp import _qs_accessors
 
         self._init_variational(q_sqrt_scale)
         traces = []
-        loss_fn = self._loss_fn()
+        loss_fn, batch = self._loss_spec()
         q = {"q_mu", "q_sqrt"}
         m1 = training.make_mask(self.params,
                                 frozen_fields={"likelihood", "z", "z_left"},
@@ -271,21 +282,20 @@ class MultiObjDeepGP:
         m3 = training.make_mask(self.params, frozen_layer_fields={"all": q})
         self.params, _ls = training.adam_run(
             loss_fn, self.params, m1, self._next_key(), steps=iterations1,
-            lr=lr_adam, messages=messages,
+            lr=lr_adam, messages=messages, data=batch,
         )
         traces.append(_ls)
         self.params, _ls = training.adam_run(
             loss_fn, self.params, m2, self._next_key(), steps=iterations2,
-            lr=lr_adam, messages=messages,
+            lr=lr_adam, messages=messages, data=batch,
         )
         traces.append(_ls)
-        sel = list(range(len(self.params.layers)))
+        get_q, set_q = _qs_accessors(tuple(range(len(self.params.layers))))
         self.params, _ls = training.nat_adam_run(
             loss_fn, self.params, m3,
-            get_qs=lambda p: get_qs(p, sel),
-            set_qs=lambda p, qs: set_qs(p, sel, qs),
+            get_qs=get_q, set_qs=set_q,
             key=self._next_key(), steps=iterations3, lr_adam=lr_adam,
-            gamma=lr_gamma, messages=messages,
+            gamma=lr_gamma, messages=messages, data=batch,
         )
         traces.append(_ls)
         return jnp.concatenate([jnp.ravel(t) for t in traces]) if traces else jnp.zeros((0,))
@@ -295,7 +305,7 @@ class MultiObjDeepGP:
         """3-phase plain-Adam variant (MO_DGP.py:345-417)."""
         self._init_variational(q_sqrt_scale)
         traces = []
-        loss_fn = self._loss_fn()
+        loss_fn, batch = self._loss_spec()
         q = {"q_mu", "q_sqrt"}
         m1 = training.make_mask(self.params,
                                 frozen_fields={"likelihood", "z", "z_left"},
@@ -307,7 +317,7 @@ class MultiObjDeepGP:
                             (iterations3, m3)):
             self.params, _ls = training.adam_run(
                 loss_fn, self.params, mask, self._next_key(), steps=steps,
-                lr=lr, messages=messages,
+                lr=lr, messages=messages, data=batch,
             )
             traces.append(_ls)
         return jnp.concatenate([jnp.ravel(t) for t in traces]) if traces else jnp.zeros((0,))

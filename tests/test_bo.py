@@ -241,3 +241,38 @@ def test_so_bo_two_constraints():
     # the recorded minimum is feasible for BOTH constraints
     i_best = np.argmin(np.where(bo.C.max(axis=1) <= 0, bo.Y[:, 0], np.inf))
     assert bo.C[i_best].max() <= 0
+
+
+def test_wb2s_auto_scale(gpr_model):
+    """Adaptive WB2S (Bartoli et al.): s = beta*|mean(x*_EI)|/EI* resolved
+    from a short EI pre-optimization; numeric scales bypass resolution."""
+    w = WB2S(0.02, 1)  # default scale="auto"
+    assert w._scale_value is None
+    s = w.resolve_scale(gpr_model, (np.zeros(1), np.ones(1)),
+                        key=jax.random.PRNGKey(0), popsize_DE=20,
+                        iterations_DE=20)
+    assert np.isfinite(s) and s > 0
+    assert w.resolve_scale(gpr_model, (np.zeros(1), np.ones(1))) == s  # cached
+    x_opt = w.optimize(gpr_model, (np.zeros(1), np.ones(1)), popsize_DE=20,
+                       iterations_DE=20, method="DE",
+                       key=jax.random.PRNGKey(1))
+    assert x_opt.shape == (1, 1) and 0 <= float(x_opt[0, 0]) <= 1
+    # numeric scale: no resolution needed, used verbatim
+    w2 = WB2S(0.02, 1, scale=3.5)
+    assert w2._effective_scale() == 3.5
+
+
+def test_acquisition_engines_cached_across_calls(gpr_model):
+    """Two optimize calls reuse the jitted DE program (bo/de engine cache)."""
+    from dgp_tpu.bo import de as de_mod
+    from dgp_tpu.bo.acquisition import EI
+
+    de_mod.clear_engine_cache()
+    ei = EI(0.02, 1)
+    ei.optimize(gpr_model, (np.zeros(1), np.ones(1)), popsize_DE=20,
+                iterations_DE=10, method="DE", key=jax.random.PRNGKey(0))
+    n1 = de_mod.engine_cache_size()
+    ei2 = EI(0.015, 1)  # fresh IC object, new y_min — same program
+    ei2.optimize(gpr_model, (np.zeros(1), np.ones(1)), popsize_DE=20,
+                 iterations_DE=10, method="DE", key=jax.random.PRNGKey(1))
+    assert de_mod.engine_cache_size() == n1 == 1

@@ -72,14 +72,16 @@ def test_ehvi_exact_matches_mc_hypervolume_improvement(monkeypatch):
 
     import dgp_tpu.bo.ehvi as ehvi_mod
 
-    def fake_moments(model_Y, Xcand, S, key, need_samples):
+    def fake_moments(kind, loop, state, Xcand, S, key, need_samples):
         m0 = jnp.asarray(means[:, :1])
         m1 = jnp.asarray(means[:, 1:])
         v0 = jnp.asarray(varis[:, :1])
         v1 = jnp.asarray(varis[:, 1:])
         return m0, v0, m1, v1, None
 
-    monkeypatch.setattr(ehvi_mod, "_mo_moments_and_samples", fake_moments)
+    monkeypatch.setattr(ehvi_mod, "_mo_model_state",
+                        lambda m: ("two_dgp", None, None))
+    monkeypatch.setattr(ehvi_mod, "_mo_moments_and_samples_pure", fake_moments)
     got = np.asarray(EHVI(None, np.zeros((2, 1)), YND, corr=False,
                           approximation="None", S=10))
 
