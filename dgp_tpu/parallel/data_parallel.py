@@ -106,6 +106,49 @@ def make_data_sample_parallel_elbo(
     )
 
 
+def make_multislice_elbo(
+    mesh: Mesh,
+    num_samples: int,
+    num_data: Optional[int] = None,
+    slice_axis: str = "slice",
+    data_axis: str = "data",
+):
+    """Data-parallel ELBO over a hybrid DCN x ICI mesh
+    (mesh.make_mesh_multislice): the N axis shards over the *product* of the
+    slice and intra-slice axes; the reduction is explicitly hierarchical —
+    ``psum`` within the slice first (ICI), then one scalar per slice across
+    slices (DCN) — so per-step DCN traffic for the value is one scalar, and
+    XLA lowers the gradient all-reduce the same hierarchical way.
+    """
+
+    def _shard_elbo(params: DGPParams, X, Y, key):
+        si = jax.lax.axis_index(slice_axis)
+        di = jax.lax.axis_index(data_axis)
+        key = jax.random.fold_in(jax.random.fold_in(key, si), di)
+        Fmean, Fvar = predict_f(params, X, key, num_samples)
+        var_exp = params.likelihood.variational_expectations(Fmean, Fvar, Y)
+        local = jnp.sum(jnp.mean(var_exp, axis=0))
+        intra = jax.lax.psum(local, data_axis)          # ICI
+        total = jax.lax.psum(intra, slice_axis)          # DCN: one scalar
+        n_batch = (
+            X.shape[0]
+            * jax.lax.psum(1, data_axis)
+            * jax.lax.psum(1, slice_axis)
+        )
+        scale = (num_data or n_batch) / n_batch
+        kl = sum(layer_kl(layer, layer.z) for layer in params.layers)
+        return total * scale - kl
+
+    return _shard_map(
+        _shard_elbo,
+        mesh=mesh,
+        in_specs=(P(), P((slice_axis, data_axis)), P((slice_axis, data_axis)),
+                  P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+
 def make_data_parallel_loss(mesh, num_samples, num_data=None, axis_name="data"):
     """Negative data-parallel ELBO with the (params, key) signature expected by
     the training engines; X/Y are closed over by the caller."""

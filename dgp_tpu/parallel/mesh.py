@@ -36,6 +36,49 @@ def make_mesh_2d(
     return Mesh(grid, tuple(axis_names))
 
 
+def make_mesh_multislice(
+    n_slices: Optional[int] = None,
+    per_slice: Optional[int] = None,
+    axis_names: Sequence[str] = ("slice", "data"),
+) -> Mesh:
+    """Hybrid DCN x ICI mesh for multi-slice pods.
+
+    On a real multi-slice deployment devices carry ``slice_index``; the outer
+    mesh axis is laid out across slices (its collectives cross DCN) and the
+    inner axis stays within a slice (collectives ride ICI) — the standard
+    hybrid-mesh layout (scaling-book recipe; cf.
+    jax.experimental.mesh_utils.create_hybrid_device_mesh). Single-slice /
+    CPU runs emulate the topology by reshaping the flat device list, which is
+    what the driver's virtual-device dryrun exercises.
+    """
+    devices = jax.devices()
+    slice_ids = sorted({getattr(d, "slice_index", None) or 0 for d in devices})
+    if len(slice_ids) > 1:
+        by_slice = [
+            [d for d in devices if (getattr(d, "slice_index", None) or 0) == s]
+            for s in slice_ids
+        ]
+        n_slices = n_slices or len(by_slice)
+        per_slice = per_slice or min(len(g) for g in by_slice)
+        if n_slices > len(by_slice):
+            raise ValueError(
+                f"requested {n_slices} slices, only {len(by_slice)} present"
+            )
+        grid = np.array([g[:per_slice] for g in by_slice[:n_slices]])
+    else:
+        n_slices = n_slices or 2
+        per_slice = per_slice or len(devices) // n_slices
+        if n_slices * per_slice > len(devices):
+            raise ValueError(
+                f"requested {n_slices}x{per_slice} devices, only "
+                f"{len(devices)} available"
+            )
+        grid = np.array(devices[: n_slices * per_slice]).reshape(
+            n_slices, per_slice
+        )
+    return Mesh(grid, tuple(axis_names))
+
+
 def shard_batch(mesh: Mesh, *arrays, axis_name: str = "data"):
     """Place arrays with their leading axis sharded over the mesh."""
     sharding = NamedSharding(mesh, P(axis_name))

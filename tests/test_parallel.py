@@ -106,3 +106,55 @@ def test_2d_mesh_data_sample_parallel():
 
     with pytest.raises(ValueError):
         make_data_sample_parallel_elbo(mesh, num_samples=3)
+
+
+def test_multislice_elbo_exact_match_single_layer():
+    """Hybrid 2x4 (slice x data) mesh: hierarchical ICI-then-DCN reduction
+    must equal the single-device ELBO exactly on a sampling-free model."""
+    from dgp_tpu.parallel import make_mesh_multislice, make_multislice_elbo
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(3)
+    N = 40
+    X = rng.uniform(0, 1, size=(N, 1))
+    Y = np.sin(5 * X)
+    model = DGP(X, Y, X[:8].copy(), [K.RBF.create(lengthscales=[1.0])], [],
+                num_samples=3)
+    mesh = make_mesh_multislice(2, 4)
+    assert mesh.shape == {"slice": 2, "data": 4}
+    sharding = NamedSharding(mesh, P(("slice", "data")))
+    Xs = jax.device_put(jnp.asarray(X), sharding)
+    Ys = jax.device_put(jnp.asarray(Y), sharding)
+    pelbo = make_multislice_elbo(mesh, num_samples=3)
+    key = jax.random.PRNGKey(0)
+    sharded = float(jax.jit(pelbo)(model.params, Xs, Ys, key))
+    single = float(elbo(model.params, jnp.asarray(X), jnp.asarray(Y), key, 3))
+    np.testing.assert_allclose(sharded, single, rtol=1e-8)
+
+
+def test_multislice_gradients_match_single_device():
+    from dgp_tpu.parallel import make_mesh_multislice, make_multislice_elbo
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(4)
+    N = 48
+    X = rng.uniform(0, 1, size=(N, 1))
+    Y = np.sin(5 * X)
+    model = DGP(X, Y, X[:8].copy(), [K.RBF.create(lengthscales=[1.0])], [],
+                num_samples=2)
+    mesh = make_mesh_multislice(2, 4)
+    sharding = NamedSharding(mesh, P(("slice", "data")))
+    Xs = jax.device_put(jnp.asarray(X), sharding)
+    Ys = jax.device_put(jnp.asarray(Y), sharding)
+    pelbo = make_multislice_elbo(mesh, num_samples=2)
+    key = jax.random.PRNGKey(7)
+    g_sharded = jax.jit(jax.grad(lambda p: -pelbo(p, Xs, Ys, key)))(model.params)
+    g_single = jax.grad(
+        lambda p: -elbo(p, jnp.asarray(X), jnp.asarray(Y), key, 2)
+    )(model.params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_sharded),
+                    jax.tree_util.tree_leaves(g_single)):
+        # per-shard trsm blocking reassociates f64 ops; the ill-conditioned
+        # Kuu amplifies it (same tolerance as the 1-D mesh grad test above)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-8)
