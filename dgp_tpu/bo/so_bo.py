@@ -131,6 +131,18 @@ class SO_BO:
         self.added_points = []
         self.IC = None
         self.constrained_IC = None
+        import jax
+
+        # one persistent key stream: successive run() calls (and checkpoint
+        # resumes) continue it instead of restarting at the seed
+        self._run_key = jax.random.PRNGKey(seed or 0)
+        self._iteration = 0
+
+    def _next_run_key(self):
+        import jax
+
+        self._run_key, sub = jax.random.split(self._run_key)
+        return sub
 
     # -- data management --------------------------------------------------------
     def _refresh_normalization(self):
@@ -249,15 +261,16 @@ class SO_BO:
             popsize_DE=300, popstd_DE=1.5, iterations_DE=400, init_adam=None,
             iterations_adam=1000, IC_method="DE+Adam", analytic=True,
             verbose=True):
-        import jax
-
-        key = jax.random.PRNGKey(self._seed or 0)
-        for j in range(iterations):
+        for _ in range(iterations):
+            # global infill counter (survives run() calls and save/load, so a
+            # resumed loop keeps the exact from_scratch/full-vs-half-train
+            # cadence of the uninterrupted one)
+            j = self._iteration
             if verbose:
                 print(f"adding the most promising data point in iteration {j}")
             bounds = (self.lw_n, self.up_n)
-            fs = iterations + 1 if from_scratch is None else from_scratch
-            if j % fs == 0 and j != 0:
+            rebuild = from_scratch is not None and j != 0 and j % from_scratch == 0
+            if rebuild:
                 self.model_Y = self.make_model(
                     self.model_Y_dic, self.X_train, self.Y_train
                 )
@@ -269,7 +282,7 @@ class SO_BO:
                         )
                         for i in range(self.C.shape[1])
                     ]
-            if j % fs == 0:
+            if j == 0 or rebuild:
                 self.train_models(train_iterations, train_iterations)
             else:
                 self._rebind_data()
@@ -288,10 +301,10 @@ class SO_BO:
             if isinstance(self.IC, WB2S):
                 # adaptive s is resolved from the unconstrained EI maximizer
                 # once per infill (fresh y_min => fresh IC object)
-                key, k_scale = jax.random.split(key)
-                self.IC.resolve_scale(self.model_Y, bounds, key=k_scale)
+                self.IC.resolve_scale(self.model_Y, bounds,
+                                      key=self._next_run_key())
 
-            key, sub = jax.random.split(key)
+            sub = self._next_run_key()
             if self.problem.constraint:
                 if constraint_handling == "PoF":
                     self.constrained_IC = PoF(self.feasible_0, self.d)
@@ -323,6 +336,7 @@ class SO_BO:
                     method=IC_method, analytic=analytic, key=sub,
                 )
             self.add_point()
+            self._iteration += 1
             if verbose:
                 print("Actual Y min:", self.Ymin[-1])
 
@@ -366,3 +380,80 @@ class SO_BO:
             self.Ymin = np.append(self.Ymin, np.min(self.Y))
         self._refresh_normalization()
         self._rebind_data()
+
+    # -- checkpoint / resume ------------------------------------------------------
+    def save(self, path: str):
+        """Checkpoint the BO state: data archive, Ymin trace, PRNG stream
+        position and all surrogate parameters, as one .npz. The reference
+        has no save/load anywhere (SURVEY.md §5 — long runs are
+        uninterruptible); here the loop resumes exactly where it stopped."""
+        import os
+
+        import jax
+
+        state = {
+            "X": self.X,
+            "Y": self.Y,
+            "Ymin": np.asarray(self.Ymin, dtype=float),
+            "run_key": np.asarray(self._run_key),
+            "seed": np.asarray(self._seed if self._seed is not None else -1),
+            "n_bucket": np.asarray(self.n_bucket or 0),
+            "normalize_input": np.asarray(bool(self.normalize_input)),
+            "iteration": np.asarray(self._iteration),
+        }
+        if self.problem.constraint:
+            state["C"] = self.C
+        for i, leaf in enumerate(jax.tree_util.tree_leaves(self.model_Y.params)):
+            state[f"mY_{i}"] = np.asarray(leaf)
+        if self.problem.constraint:
+            for k, m in enumerate(self.model_C):
+                for i, leaf in enumerate(jax.tree_util.tree_leaves(m.params)):
+                    state[f"mC{k}_{i}"] = np.asarray(leaf)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **state)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str, problem, model_Y_dic, model_C_dic=None):
+        """Rebuild a BO loop from :meth:`save`. ``problem`` and the spec
+        dicts are user objects and must be supplied again (they are not
+        serialized)."""
+        import jax
+
+        data = np.load(path)
+        seed = int(data["seed"])
+        bo = cls(
+            problem=problem,
+            X=data["X"],
+            Y=data["Y"],
+            C=data["C"] if "C" in data.files else None,
+            model_Y_dic=model_Y_dic,
+            model_C_dic=model_C_dic,
+            normalize_input=bool(data["normalize_input"]),
+            seed=None if seed == -1 else seed,
+            n_bucket=int(data["n_bucket"]) or None,
+        )
+
+        def _restore(params, prefix):
+            leaves, treedef = jax.tree_util.tree_flatten(params)
+            new = []
+            for i, leaf in enumerate(leaves):
+                arr = data[f"{prefix}_{i}"]
+                new.append(jax.numpy.asarray(arr, dtype=np.asarray(leaf).dtype))
+                if arr.shape != np.shape(leaf):
+                    raise ValueError(
+                        f"checkpoint leaf {prefix}_{i} has shape {arr.shape}, "
+                        f"rebuilt model expects {np.shape(leaf)} — was the "
+                        "checkpoint written with a different spec/n_bucket?"
+                    )
+            return jax.tree_util.tree_unflatten(treedef, new)
+
+        bo.model_Y.params = _restore(bo.model_Y.params, "mY")
+        if problem.constraint:
+            for k in range(len(bo.model_C)):
+                bo.model_C[k].params = _restore(bo.model_C[k].params, f"mC{k}")
+        bo.Ymin = list(np.asarray(data["Ymin"], dtype=float))
+        bo._run_key = jax.numpy.asarray(data["run_key"])
+        bo._iteration = int(data["iteration"])
+        return bo

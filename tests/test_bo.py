@@ -276,3 +276,43 @@ def test_acquisition_engines_cached_across_calls(gpr_model):
     ei2.optimize(gpr_model, (np.zeros(1), np.ones(1)), popsize_DE=20,
                  iterations_DE=10, method="DE", key=jax.random.PRNGKey(1))
     assert de_mod.engine_cache_size() == n1 == 1
+
+
+def test_so_bo_checkpoint_resume_exact(tmp_path):
+    """save() + load() + continue == uninterrupted run, exactly: the data
+    archive, surrogate params and PRNG stream position all round-trip
+    (GPR surrogates are deterministic given data + key stream)."""
+    from dgp_tpu.bo.so_bo import SO_BO
+
+    class Problem:
+        dim = 1
+        constraint = True
+
+        def fun(self, x):
+            return [(x - 0.5) ** 2, np.where(x > 0.25, -1.0, 1.0)]
+
+    spec = {"num_layers": 0, "kernels": "rbf"}
+    kw = dict(model_Y_dic=spec, model_C_dic=spec, seed=3, n_bucket=8)
+    run_kw = dict(IC="EI", constraint_handling="EV", train_iterations=60,
+                  popsize_DE=20, iterations_DE=15, iterations_adam=20,
+                  IC_method="DE", verbose=False)
+
+    ref = SO_BO(problem=Problem(), DoE_size=5, **kw)
+    ref.run(3, **run_kw)
+
+    bo = SO_BO(problem=Problem(), DoE_size=5, **kw)
+    bo.run(2, **run_kw)
+    path = str(tmp_path / "bo.npz")
+    bo.save(path)
+    bo2 = SO_BO.load(path, Problem(), spec, spec)
+    # restored state matches the saved loop
+    np.testing.assert_array_equal(bo2.X, bo.X)
+    np.testing.assert_array_equal(np.asarray(bo2._run_key),
+                                  np.asarray(bo._run_key))
+    for a, b in zip(jax.tree_util.tree_leaves(bo2.model_Y.params),
+                    jax.tree_util.tree_leaves(bo.model_Y.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    bo2.run(1, **run_kw)
+    np.testing.assert_allclose(bo2.X, ref.X, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(bo2.Ymin), np.asarray(ref.Ymin),
+                               atol=1e-12)
