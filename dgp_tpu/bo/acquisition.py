@@ -50,11 +50,19 @@ def _moment_matched(m_s, v_s):
     return mean, var
 
 
+def _floored_sigma(var):
+    """sqrt(var) with a variance floor. An exact-interpolation surrogate
+    (GPR with tiny noise evaluated at an observed x) drives var -> 0; the
+    unguarded z-scores would then be 0/0 = NaN inside the DE population and
+    poison the acquisition optimum."""
+    return jnp.sqrt(jnp.maximum(var, 1e-12))
+
+
 def _expected_improvement(y_min, mean, var):
     """EI(x) = (y_min - mu) Phi(z) + sigma phi(z); the reference's
     ``var * N(y_min | mu, sigma)`` equals sigma*phi(z) exactly
     (Infill_criteria.py:32-35)."""
-    sigma = jnp.sqrt(var)
+    sigma = _floored_sigma(var)
     z = (y_min - mean) / sigma
     return (y_min - mean) * norm.cdf(z) + sigma * norm.pdf(z)
 
@@ -135,7 +143,7 @@ def _ev_one_pure(kind, state, x, key, zero_c, analytic, num_samples):
     if analytic:
         S = 500 if kind == "dgp" else num_samples
         mean, var = _y_moments_pure(kind, state, x, key, S)
-        sigma = jnp.sqrt(var)
+        sigma = _floored_sigma(var)
         z = (mean - zero_c) / sigma
         return (mean - zero_c) * norm.cdf(z) + sigma * norm.pdf(z)
     F = _samples_pure(kind, state, x, key, num_samples)
@@ -166,7 +174,13 @@ def _ev_ic_loss(ic_loss, c_kinds: tuple, analytic: bool, num_samples: int):
 
 @functools.lru_cache(maxsize=None)
 def _pof_ic_loss(ic_loss, c_kinds: tuple, num_samples: int):
-    """args = (ic_args, c_states, zero_c [n_c], key) -> -(EI * prod PoF_i)."""
+    """args = (ic_args, c_states, zero_c [n_c], key) -> -(EI * prod PoF_i).
+
+    The IC loss is clamped to <= 0 before the PoF weighting: weighting is
+    only order-preserving for non-positive losses (true for -EI; WB2/WB2S's
+    -(scale*EI - mean) can be positive where the predicted mean dominates,
+    and shrinking a *positive* loss toward 0 by a small PoF would score
+    highly infeasible bad regions above feasible mediocre ones)."""
 
     def loss(x, args):
         ic_args, c_states, zero_c, key = args
@@ -174,8 +188,8 @@ def _pof_ic_loss(ic_loss, c_kinds: tuple, num_samples: int):
         for i, kind in enumerate(c_kinds):
             sub = jax.random.fold_in(key, i)
             mean, var = _y_moments_pure(kind, c_states[i], x, sub, num_samples)
-            pof = pof * norm.cdf((zero_c[i] - mean) / jnp.sqrt(var))
-        return ic_loss(x, ic_args) * pof
+            pof = pof * norm.cdf((zero_c[i] - mean) / _floored_sigma(var))
+        return jnp.minimum(ic_loss(x, ic_args), 0.0) * pof
 
     return loss
 
@@ -428,7 +442,7 @@ class EV_one_constraint(InfillCriteria):
         if analytic:
             S = 500 if model.name == "dgp" else num_samples
             mean, var = self._predict_y_moments(model, x, key, S)
-            sigma = jnp.sqrt(var)
+            sigma = _floored_sigma(var)
             z = (mean - self.zero_c) / sigma
             return (mean - self.zero_c) * norm.cdf(z) + sigma * norm.pdf(z)
         F = self._samples(model, x, key, num_samples)
@@ -513,15 +527,16 @@ class PoF(InfillCriteria):
         for i, m in enumerate(models):
             sub = jax.random.fold_in(key, i)
             mean, var = self._predict_y_moments(m, x, sub, num_samples)
-            pof = pof * norm.cdf((self.zero_c[i] - mean) / jnp.sqrt(var))
+            pof = pof * norm.cdf((self.zero_c[i] - mean) / _floored_sigma(var))
         return pof  # [n, 1]
 
     def run_with_IC(self, IC, model_Y, model_C, x, key=None):
+        """Clamped to <= 0 before weighting — see :func:`_pof_ic_loss`."""
         key = key if key is not None else jax.random.PRNGKey(0)
         k_pof, k_ei = jax.random.split(key)
         pof = self.run(model_C, x, key=k_pof)
         neg_ei = IC.run(model_Y, x, key=k_ei)  # IC.run returns -EI
-        return neg_ei * pof  # minimize -(EI * PoF)
+        return jnp.minimum(neg_ei, 0.0) * pof  # minimize -(EI * PoF)
 
     def optimize_with_IC(self, IC, model_Y, model_C, bounds, popsize_DE=300,
                          popstd_DE=1.5, iterations_DE=400, init_adam=None,

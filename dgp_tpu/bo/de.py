@@ -142,7 +142,9 @@ def _adam_body(fn, with_args, iterations, lr):
             return (optax.apply_updates(v, updates), state), loss
 
         (v, _), losses = jax.lax.scan(step, (v0, state), None, length=iterations)
-        return v, losses
+        # one extra evaluation so the reported objective matches the *final*
+        # position (the scan's last loss is pre-update and lags v by one step)
+        return v, scalar_fn(v)
 
     return run
 
@@ -156,16 +158,16 @@ def adam_refine(
 ):
     """Adam refinement of a single point in the unconstrained space
     (the reference's post-DE Adam loop, Infill_criteria.py:70-86).
-    With ``fn_args``, same cached-engine contract as :func:`minimize`."""
+    With ``fn_args``, same cached-engine contract as :func:`minimize`.
+    Returns (v, objective-at-v) — the objective is re-evaluated at the final
+    position, not the last pre-update scan value."""
     v0 = jnp.asarray(v0)
     if fn_args is None:
         run = jax.jit(lambda v: _adam_body(fn, False, iterations, lr)(v, None))
-        v, losses = run(v0)
-        return v, losses[-1]
+        return run(v0)
     cache_key = ("adam", fn, iterations, lr)
     run = _ENGINE_CACHE.get(cache_key)
     if run is None:
         run = jax.jit(_adam_body(fn, True, iterations, lr))
         _ENGINE_CACHE[cache_key] = run
-    v, losses = run(v0, fn_args)
-    return v, losses[-1]
+    return run(v0, fn_args)

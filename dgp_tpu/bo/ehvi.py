@@ -186,7 +186,10 @@ def _ehvi_pure(kind, loop, corr, approximation, S, state, Xcand, Y0, Y1, key):
         kind, loop, state, Xcand, S, key, need_samples
     )
     m0, v0, m1, v1 = m0[:, 0], v0[:, 0], m1[:, 0], v1[:, 0]
-    s0, s1 = jnp.sqrt(v0), jnp.sqrt(v1)
+    # variance floor: psi() divides by sigma, and moment-matched variances can
+    # hit 0 at observed points (cf. acquisition._floored_sigma)
+    s0 = jnp.sqrt(jnp.maximum(v0, 1e-12))
+    s1 = jnp.sqrt(jnp.maximum(v1, 1e-12))
 
     if approximation == "None":
         if corr:

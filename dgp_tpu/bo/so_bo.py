@@ -28,11 +28,13 @@ from .doe import doe
 
 
 def _safe_std(a):
-    """Columnwise std with zero-variance columns mapped to 1 (a constant
-    column would make the reference's normalization divide by zero,
-    SO_BO.py:27-45)."""
+    """Columnwise std with (numerically) zero-variance columns mapped to 1
+    (a constant column would make the reference's normalization divide by
+    zero, SO_BO.py:27-45). The check is relative: a column of identical
+    values has std ~1e-16 from fp rounding, not exactly 0."""
     sd = a.std(axis=0)
-    return np.where(sd == 0, 1.0, sd)
+    tiny = 1e-12 * np.maximum(1.0, np.abs(a).max(axis=0))
+    return np.where(sd <= tiny, 1.0, sd)
 
 
 def normalize(*args):
@@ -51,11 +53,14 @@ def normalize_C(C):
 
 
 def denormalize(Xstar_n, X):
-    return X.std(axis=0) * Xstar_n + X.mean(axis=0)
+    """Inverse of normalize_X; uses _safe_std so the round-trip stays an
+    inverse on zero-variance columns (raw std would pin the de-normalized
+    coordinate of a constant DoE column to the column mean forever)."""
+    return _safe_std(X) * Xstar_n + X.mean(axis=0)
 
 
 def denormalize_var(var_n, X):
-    return X.std(axis=0) ** 2 * var_n
+    return _safe_std(X) ** 2 * var_n
 
 
 class SO_BO:
@@ -369,8 +374,15 @@ class SO_BO:
         if self.problem.constraint:
             self.C = np.append(self.C, np.reshape(out[1], (1, -1)), axis=0)
             if self.C[-1].max() <= 0:
-                self.Yfeasible = np.append(self.Yfeasible, self.Y[-1])
-                self.Xfeasible = np.append(self.Xfeasible, self.X[-1])
+                # append as rows: the reference's axis-less np.append
+                # (SO_BO.py:332-333) flattened the feasible archive to 1-D,
+                # interleaving coordinates for d > 1
+                self.Yfeasible = np.append(
+                    np.asarray(self.Yfeasible).reshape(-1, self.Y.shape[1]),
+                    self.Y[-1:], axis=0)
+                self.Xfeasible = np.append(
+                    np.asarray(self.Xfeasible).reshape(-1, self.d),
+                    self.X[-1:], axis=0)
                 self.Ymin = np.append(self.Ymin, np.min(self.Yfeasible))
             else:
                 self.Ymin = np.append(self.Ymin, self.Ymin[-1])

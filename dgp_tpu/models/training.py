@@ -113,6 +113,27 @@ def _grad_norm(grads):
     return jnp.sqrt(sum(leaves))
 
 
+def _surface_nonfinite(trace, label):
+    """Post-scan NaN/Inf surfacing (SURVEY.md §5: the reference's only
+    failure mode is a silently diverging print trace). Runs on the host after
+    the phase; warns with the first bad step index so a diverged phase is
+    visible even when messages=0."""
+    import warnings
+
+    import numpy as _np
+
+    arr = _np.asarray(trace["loss"] if isinstance(trace, dict) else trace)
+    bad = _np.flatnonzero(~_np.isfinite(arr))
+    if bad.size:
+        warnings.warn(
+            f"{label}: non-finite loss at step {int(bad[0])} "
+            f"({bad.size}/{arr.size} steps non-finite)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    return trace
+
+
 # -- compiled-engine cache ------------------------------------------------------
 #
 # A fresh ``@jax.jit`` closure per training call would recompile the whole
@@ -248,7 +269,8 @@ def adam_run(
         opt = masked_adam(mask, lr, b1, b2, eps)
         run = _make_adam_engine(opt, loss_fn, steps, messages, label,
                                 metrics_fn, with_data=False)
-        return run(params, key)
+        params, trace = run(params, key)
+        return params, _surface_nonfinite(trace, label)
 
     cache_key = ("adam", loss_fn, _mask_signature(mask), steps, lr, b1, b2,
                  eps, messages, label, metrics_fn)
@@ -258,7 +280,8 @@ def adam_run(
         run = _make_adam_engine(opt, loss_fn, steps, messages, label,
                                 metrics_fn, with_data=True)
         _ENGINE_CACHE[cache_key] = run
-    return run(params, key, data)
+    params, trace = run(params, key, data)
+    return params, _surface_nonfinite(trace, label)
 
 
 def nat_adam_run(
@@ -333,7 +356,8 @@ def nat_adam_run(
 
     if data is None:
         opt = masked_adam(euclid_mask, lr_adam, b1, b2, eps)
-        return make_engine(opt, with_data=False)(params, key)
+        params, losses = make_engine(opt, with_data=False)(params, key)
+        return params, _surface_nonfinite(losses, label)
 
     cache_key = ("nat_adam", loss_fn, get_qs, set_qs,
                  _mask_signature(euclid_mask), steps, lr_adam, gamma,
@@ -343,4 +367,5 @@ def nat_adam_run(
         opt = masked_adam(euclid_mask, lr_adam, b1, b2, eps)
         run = make_engine(opt, with_data=True)
         _ENGINE_CACHE[cache_key] = run
-    return run(params, key, data)
+    params, losses = run(params, key, data)
+    return params, _surface_nonfinite(losses, label)

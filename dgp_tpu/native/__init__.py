@@ -83,7 +83,12 @@ def nd_sort_2d(Y, C, obj1_ascending=True):
 
 
 def hv_2d(ND, Y, bounds):
-    """Drop-in for ``dgp_tpu.bo.ehvi.HV_calcul``."""
+    """Fast path for ``dgp_tpu.bo.ehvi.HV_calcul`` **assuming an in-box
+    front**: points of ``ND`` outside the (U1, U2) reference corner are
+    skipped and the rest summed, whereas HV_calcul returns 0 for the whole
+    front when any ND point exceeds both bounds and zeroes segments per its
+    staircase quirks. Callers with possibly out-of-box fronts must use
+    HV_calcul."""
     lib = _load()
     if lib is None:
         from ..bo.ehvi import HV_calcul

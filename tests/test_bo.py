@@ -316,3 +316,98 @@ def test_so_bo_checkpoint_resume_exact(tmp_path):
     np.testing.assert_allclose(bo2.X, ref.X, atol=1e-12)
     np.testing.assert_allclose(np.asarray(bo2.Ymin), np.asarray(ref.Ymin),
                                atol=1e-12)
+
+
+def test_ei_finite_at_zero_variance(gpr_model):
+    """Sigma floor: an exact-interpolation point (var -> 0) must not produce
+    NaN acquisition values (they would poison the DE population)."""
+    X_train = np.asarray(gpr_model.data[0])
+    ei = EI(0.05, 1)
+    out = np.asarray(ei.run(gpr_model, jnp.asarray(X_train[:3])))
+    assert np.all(np.isfinite(out))
+    # direct zero-variance check on the raw formula
+    from dgp_tpu.bo.acquisition import _expected_improvement
+
+    v = _expected_improvement(jnp.asarray(0.1), jnp.asarray([0.2]),
+                              jnp.asarray([0.0]))
+    assert np.isfinite(np.asarray(v)).all()
+
+
+def test_pof_clamps_positive_ic_loss(gpr_model):
+    """PoF weighting is only order-preserving for non-positive losses; a
+    positive WB2 loss must be clamped to 0 before the PoF product so
+    infeasible bad regions can never outscore feasible mediocre ones."""
+    w = WB2(-10.0, 1)  # absurd y_min makes EI ~ 0 => loss = +mean > 0 wherever mean > 0
+    pof = PoF(np.asarray([0.05]), 1)
+    x = jnp.linspace(0.05, 0.95, 7).reshape(-1, 1)
+    out = np.asarray(pof.run_with_IC(w, gpr_model, [gpr_model], x,
+                                     key=jax.random.PRNGKey(0)))
+    assert np.all(out <= 0.0)
+
+
+def test_denormalize_roundtrip_constant_column():
+    """A constant DoE column must round-trip through normalize_X/denormalize
+    (raw std would pin the coordinate to the column mean)."""
+    from dgp_tpu.bo.so_bo import denormalize, normalize_X
+
+    X = np.column_stack([np.linspace(0, 1, 6), np.full(6, 0.7)])
+    X_n, _, _ = normalize_X(X)
+    np.testing.assert_allclose(denormalize(X_n, X), X, atol=1e-12)
+    # a *moved* normalized coordinate in the constant column must move back
+    x_new = np.array([[0.3, 0.2]])
+    assert denormalize(x_new, X)[0, 1] != denormalize(
+        np.array([[0.3, -0.4]]), X)[0, 1]
+
+
+def test_add_point_feasible_archive_stays_2d():
+    """The reference's axis-less np.append flattened Xfeasible after the
+    first feasible infill, corrupting it for d > 1 (SO_BO.py:332-333)."""
+
+    class Problem2D:
+        constraint = True
+        dim = 2
+
+        def fun(self, x):
+            return [np.sum((x - 0.4) ** 2, axis=-1, keepdims=True),
+                    np.full((x.shape[0], 1), -1.0)]  # always feasible
+
+    spec = {"num_layers": 0, "kernels": "rbf"}
+    bo = SO_BO(problem=Problem2D(), DoE_size=6, model_Y_dic=spec,
+               model_C_dic=spec, seed=1)
+    bo.run(2, IC="EI", constraint_handling="EV", train_iterations=60,
+           popsize_DE=15, iterations_DE=10, IC_method="DE", verbose=False)
+    assert bo.Xfeasible.ndim == 2 and bo.Xfeasible.shape[1] == 2
+    assert bo.Yfeasible.ndim == 2 and bo.Yfeasible.shape[1] == 1
+    assert bo.Xfeasible.shape[0] == bo.X.shape[0]  # all points feasible
+
+
+def test_adam_refine_objective_matches_final_position():
+    """The reported objective must be evaluated AT the returned position,
+    not one optimizer step earlier."""
+    target = jnp.asarray([0.2, -0.6])
+
+    def fn(x, args):
+        return jnp.sum((x - args) ** 2, axis=1)
+
+    v, obj = de.adam_refine(fn, jnp.ones(2), iterations=50, lr=0.1,
+                            fn_args=target)
+    np.testing.assert_allclose(float(obj), float(fn(v[None], target)[0]),
+                               rtol=1e-12)
+
+
+def test_training_surfaces_nonfinite_loss():
+    """A diverged phase (NaN losses) must raise a RuntimeWarning naming the
+    first bad step (SURVEY.md §5 failure-detection commitment)."""
+    import warnings
+
+    from dgp_tpu.models import training
+
+    params = jnp.asarray(1.0)
+
+    def bad_loss(p, key):
+        return p * jnp.nan
+
+    mask = True
+    with pytest.warns(RuntimeWarning, match="non-finite"):
+        training.adam_run(bad_loss, params, mask, jax.random.PRNGKey(0),
+                          steps=3, lr=0.1)
