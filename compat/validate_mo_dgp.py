@@ -50,15 +50,32 @@ def main(fast=False):
     assert hv > 0
 
     model = MultiObjDeepGP([X, X.copy()], [Y0, Y1], loop=2, num_samples=10)
+    if fast:
+        schedule = dict(iterations1=200, iterations2=0, iterations3=0)
+    else:
+        schedule = dict(iterations1=200, iterations2=300, iterations3=800)
     losses = np.asarray(model.optimize_nat_adam(
-        lr_adam=0.01, lr_gamma=0.01, iterations1=200, iterations2=0,
-        iterations3=0, messages=100,
+        lr_adam=0.01, lr_gamma=0.01, messages=100, **schedule,
     ))
     print(f"ELBO: {-losses[0]:.4g} -> {-np.mean(losses[-20:]):.4g} "
           "(published init -1.744e8 on its own DoE)")
     assert np.all(np.isfinite(losses))
     # single-MC-sample losses are noisy; compare window means
     assert np.mean(losses[-20:]) < np.mean(losses[:20])
+
+    if not fast:
+        # quantitative fit oracle: per-objective moment-matched training fit
+        # after the full 3-phase schedule (measured r2 0.90 / 0.61 at this
+        # deterministic seed; thresholds leave slack for RNG-order changes)
+        from dgp_tpu.models.dgp import moment_matched
+
+        for obj, Yt, r2_min in ((0, Y0, 0.7), (1, Y1, 0.4)):
+            Fm, Fv = model.predict_f(X, S=200, objective=obj)
+            m, _ = moment_matched(Fm, Fv)
+            m = np.asarray(m)
+            r2 = 1 - np.sum((m - Yt) ** 2) / np.sum((Yt - Yt.mean()) ** 2)
+            print(f"objective {obj} train r2: {r2:.4f} (oracle > {r2_min})")
+            assert r2 > r2_min
 
     bounds = problem.bounds
     nadir = (float((bounds[2] - Y0_.mean()) / Y0_.std()),

@@ -45,13 +45,40 @@ from .dgp import moment_matched
 
 
 @functools.lru_cache(maxsize=None)
-def _mf_loss(num_samples: int):
+def _mf_loss(num_samples: int, train_upto: int = -1):
     """Stable -ELBO object for the cached training engines;
-    batch = (Xs tuple, Ys tuple)."""
+    batch = (Xs, Ys, row_weights, num_data) tuples — the latter two may be
+    None (plain full batch)."""
 
     def loss(params, key, batch):
-        Xs, Ys = batch
-        return -elbo(params, Xs, Ys, key, num_samples)
+        Xs, Ys, ws, nd = batch
+        return -elbo(params, Xs, Ys, key, num_samples,
+                     train_upto_fidelity=train_upto, row_weights=ws,
+                     num_data=nd)
+
+    return loss
+
+
+@functools.lru_cache(maxsize=None)
+def _mf_minibatch_loss(num_samples: int, batch_sizes: tuple,
+                       train_upto: int = -1):
+    """-ELBO over per-fidelity uniform random minibatches with the
+    reference's per-fidelity scale N_f/B_f (MF_DGP.py:219-220 — it stores a
+    ``minibatch_size`` it never consumes, MF_DGP.py:88; here it is live).
+    batch = (Xs, Ys, n_trues) with n_trues traced scalars so N growth does
+    not recompile."""
+
+    def loss(params, key, batch):
+        Xs, Ys, n_trues = batch
+        key, ks = jax.random.split(key)
+        Xb, Yb = [], []
+        for f, B in enumerate(batch_sizes):
+            key, kf = jax.random.split(key)
+            idx = jax.random.randint(kf, (B,), 0, n_trues[f])
+            Xb.append(Xs[f][idx])
+            Yb.append(Ys[f][idx])
+        return -elbo(params, tuple(Xb), tuple(Yb), ks, num_samples,
+                     train_upto_fidelity=train_upto, num_data=n_trues)
 
     return loss
 
@@ -145,11 +172,28 @@ def _white_variance(layer: SVGPLayer):
     return layer.kernel.kernels[-1].variance
 
 
+def _weighted_data_term(var_exp, w):
+    """(weighted row sum of E_S[var_exp], effective row count) — rows with
+    weight 0 are shape padding (training.pad_to_bucket) and contribute
+    nothing."""
+    per_row = jnp.mean(var_exp, axis=0)  # [N, D]
+    if w is None:
+        return jnp.sum(per_row), per_row.shape[0]
+    return jnp.sum(w[:, None] * per_row), jnp.sum(w)
+
+
 def elbo(params: MFDGPParams, Xs, Ys, key, num_samples: int,
-         train_upto_fidelity: int = -1):
+         train_upto_fidelity: int = -1, row_weights=None, num_data=None):
     """Sum of per-fidelity data terms (model likelihood on the last layer,
     White-kernel Gaussian on inner layers) minus per-layer KLs
-    (MF_DGP.py:199-226)."""
+    (MF_DGP.py:199-226).
+
+    :param row_weights: optional per-fidelity tuple of 0/1 row weights (or
+        None entries) marking shape padding.
+    :param num_data: optional per-fidelity tuple of full-dataset sizes; each
+        fidelity's data term is then scaled by N_f / batch_f — the
+        reference's per-fidelity minibatch scale (MF_DGP.py:219-220).
+    """
     key, kz = jax.random.split(key)
     zs_full = compute_full_zs(params.layers, kz)
     n_layers = len(params.layers)
@@ -172,7 +216,10 @@ def elbo(params: MFDGPParams, Xs, Ys, key, num_samples: int,
             var_exp = fidelity_variational_expectations(
                 Fmean, Fvar, Ys[fidelity], _white_variance(params.layers[fidelity])
             )
-        L += jnp.sum(jnp.mean(var_exp, axis=0))
+        w = None if row_weights is None else row_weights[fidelity]
+        term, eff = _weighted_data_term(var_exp, w)
+        scale = 1.0 if num_data is None else num_data[fidelity] / eff
+        L += term * scale
         KL += layer_kl(params.layers[fidelity], zs_full[fidelity])
     return L - KL
 
@@ -248,12 +295,20 @@ class MultiFidelityDeepGP:
     name = "mf_dgp"
 
     def __init__(self, X, Y, Z=None, n_iter=5000, fix_inducing=True,
-                 num_samples=10, add_linear=True, seed=0):
+                 num_samples=10, add_linear=True, seed=0,
+                 minibatch_size=None, n_bucket=None):
         dtype = default_float()
         self._X = [jnp.asarray(np.asarray(x), dtype=dtype) for x in X]
         self._Y = [jnp.asarray(np.asarray(y), dtype=dtype) for y in Y]
         self.n_fidelities = len(X)
         self.num_samples = num_samples
+        # per-fidelity minibatch sizes (int shared, or list); the reference
+        # stores minibatch_size and never consumes it (MF_DGP.py:88) — here
+        # it is live with the N_f/B_f scale of MF_DGP.py:219-220
+        if isinstance(minibatch_size, int):
+            minibatch_size = [minibatch_size] * len(X)
+        self.minibatch_size = minibatch_size
+        self.n_bucket = n_bucket
         self._key = jax.random.PRNGKey(seed)
         if Z is None:
             Z = [np.asarray(X[0]).copy()] + [np.asarray(x).copy() for x in X[1:]]
@@ -271,11 +326,42 @@ class MultiFidelityDeepGP:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def _loss_spec(self):
+    def _loss_spec(self, train_upto: int = -1):
         """(stable loss_fn, traced batch) — see training._ENGINE_CACHE: a
         fresh instance at the same shapes (e.g. the 20-seed benchmark
-        harness, nb_mfdgp_improved cell 4) reuses the compiled engines."""
-        return _mf_loss(self.num_samples), (tuple(self._X), tuple(self._Y))
+        harness, nb_mfdgp_improved cell 4) reuses the compiled engines.
+
+        With ``minibatch_size``: per-fidelity uniform batches + N_f/B_f
+        scale. With ``n_bucket``: rows padded per fidelity with 0/1 weights
+        so a growing dataset keeps stable compiled shapes."""
+        Xs, Ys = list(self._X), list(self._Y)
+        if self.minibatch_size is not None:
+            sizes = tuple(
+                min(int(b), x.shape[0])
+                for b, x in zip(self.minibatch_size, Xs)
+            )
+            n_trues = tuple(
+                jnp.asarray(x.shape[0], dtype=jnp.int32) for x in Xs
+            )
+            if self.n_bucket:
+                padded = [training.pad_to_bucket(x, y, self.n_bucket)[:2]
+                          for x, y in zip(Xs, Ys)]
+                Xs = [p[0] for p in padded]
+                Ys = [p[1] for p in padded]
+            return (_mf_minibatch_loss(self.num_samples, sizes, train_upto),
+                    (tuple(Xs), tuple(Ys), n_trues))
+        if self.n_bucket:
+            ws, nd = [], []
+            for f in range(len(Xs)):
+                Xp, Yp, w = training.pad_to_bucket(Xs[f], Ys[f],
+                                                   self.n_bucket)
+                Xs[f], Ys[f] = Xp, Yp
+                ws.append(w)
+                nd.append(jnp.asarray(self._X[f].shape[0], Xp.dtype))
+            return (_mf_loss(self.num_samples, train_upto),
+                    (tuple(Xs), tuple(Ys), tuple(ws), tuple(nd)))
+        return (_mf_loss(self.num_samples, train_upto),
+                (tuple(Xs), tuple(Ys), None, None))
 
     def objective(self):
         return _elbo_jit(self.params, tuple(self._X), tuple(self._Y),
@@ -352,12 +438,18 @@ class MultiFidelityDeepGP:
 
     def optimize_adam(self, lr=0.01, iterations1=2000, iterations2=5000,
                       iterations3=7500, beta_1=0.9, beta_2=0.999,
-                      epsilon=1e-7, messages=500, q_sqrt_scale=1e-2):
+                      epsilon=1e-7, messages=500, q_sqrt_scale=1e-2,
+                      train_upto_fidelity=-1):
         """3-phase Adam (MF_DGP.py:345-424); phase 3 unfreezes q + likelihood
-        for Adam instead of natural gradients."""
+        for Adam instead of natural gradients.
+
+        :param train_upto_fidelity: restrict the ELBO's data terms to
+            fidelities 0..k (the reference's ``_train_upto_fidelity``,
+            MF_DGP.py:214); -1 = all.
+        """
         self._init_variational(q_sqrt_scale)
         traces = []
-        loss_fn, batch = self._loss_spec()
+        loss_fn, batch = self._loss_spec(train_upto_fidelity)
         m1, m2, _ = self._phase_masks()
         m3 = training.make_mask(self.params)  # everything (but means)
         for steps, mask in ((iterations1, m1), (iterations2, m2),
@@ -373,13 +465,17 @@ class MultiFidelityDeepGP:
     def optimize_nat_adam(self, lr_adam=0.01, lr_gamma=0.01, iterations1=2000,
                           iterations2=5000, iterations3=7500, beta_1=0.9,
                           beta_2=0.999, epsilon=1e-7, messages=500,
-                          q_sqrt_scale=1e-2):
-        """3-phase Adam -> +inducing -> Adam+NatGrad (MF_DGP.py:426-519)."""
+                          q_sqrt_scale=1e-2, train_upto_fidelity=-1):
+        """3-phase Adam -> +inducing -> Adam+NatGrad (MF_DGP.py:426-519).
+
+        :param train_upto_fidelity: restrict the ELBO's data terms to
+            fidelities 0..k (MF_DGP.py:214); -1 = all.
+        """
         from .dgp import _qs_accessors
 
         self._init_variational(q_sqrt_scale)
         traces = []
-        loss_fn, batch = self._loss_spec()
+        loss_fn, batch = self._loss_spec(train_upto_fidelity)
         m1, m2, m3 = self._phase_masks()
         self.params, _ls = training.adam_run(
             loss_fn, self.params, m1, self._next_key(), steps=iterations1,

@@ -156,10 +156,27 @@ def project(params: MFDGPEMParams, X, key, S: int,
     return Hmeans[idx], Hvars[idx]
 
 
+def _weighted_data_term(var_exp, w):
+    """(weighted row sum of E_S[var_exp], effective row count); rows with
+    weight 0 are shape padding (training.pad_to_bucket)."""
+    per_row = jnp.mean(var_exp, axis=0)
+    if w is None:
+        return jnp.sum(per_row), per_row.shape[0]
+    return jnp.sum(w[:, None] * per_row), jnp.sum(w)
+
+
 def elbo(params: MFDGPEMParams, Xs, Ys, X_red, key, num_samples: int,
-         train_upto_fidelity: int = -1):
+         train_upto_fidelity: int = -1, row_weights=None, num_data=None):
     """Fidelity data terms + projection data terms - all KLs
-    (MF_DGP_EM.py:262-301)."""
+    (MF_DGP_EM.py:262-301).
+
+    :param row_weights: optional per-fidelity 0/1 row-weight tuple (padding).
+    :param num_data: optional per-fidelity full-dataset sizes; data terms are
+        then scaled N_f/B_f and the projection term generalizes the
+        reference's N_{f+1}/batch_f quirk (MF_DGP_EM.py:292-293) to
+        (N_{f+1}/B_{f+1}) * (N_{f+1}/N_f) — both reduce to the reference's
+        value at full batch.
+    """
     key, kz = jax.random.split(key)
     zs_full = compute_full_zs_em(params, kz)
     n_layers = len(params.layers)
@@ -183,7 +200,10 @@ def elbo(params: MFDGPEMParams, Xs, Ys, X_red, key, num_samples: int,
                 Fmean, Fvar, Ys[fidelity],
                 params.layers[fidelity].kernel.kernels[-1].variance,
             )
-        L += jnp.sum(jnp.mean(var_exp, axis=0))
+        w = None if row_weights is None else row_weights[fidelity]
+        term, eff = _weighted_data_term(var_exp, w)
+        n_cur = eff if num_data is None else num_data[fidelity]
+        L += term * (n_cur / eff)
         KL += layer_kl(params.layers[fidelity], zs_full[fidelity])
         if fidelity < n_layers - 1:
             key, sub = jax.random.split(key)
@@ -193,8 +213,12 @@ def elbo(params: MFDGPEMParams, Xs, Ys, X_red, key, num_samples: int,
             ve_red = params.likelihood_projection.variational_expectations(
                 Hmean, Hvar, X_red[fidelity]
             )
-            scale = Xs[fidelity + 1].shape[0] / Xs[fidelity].shape[0]
-            L_red += jnp.sum(jnp.mean(ve_red, axis=0)) * scale
+            w_next = None if row_weights is None else row_weights[fidelity + 1]
+            term_red, eff_next = _weighted_data_term(ve_red, w_next)
+            n_next = eff_next if num_data is None else num_data[fidelity + 1]
+            # (estimation factor) * (the reference's N_{f+1}/N_f quirk)
+            scale = (n_next / eff_next) * (n_next / n_cur)
+            L_red += term_red * scale
             KL_red += layer_kl(params.layers_red[fidelity],
                                params.layers_red[fidelity].z)
     return L + L_red - KL - KL_red
@@ -282,13 +306,39 @@ _predict_y_jit = maybe_jit(predict_y, static_argnums=(3, 4))
 
 
 @functools.lru_cache(maxsize=None)
-def _em_loss(num_samples: int):
+def _em_loss(num_samples: int, train_upto: int = -1):
     """Stable -ELBO object for the cached training engines;
-    batch = (Xs tuple, Ys tuple, X_red tuple)."""
+    batch = (Xs, Ys, X_red, row_weights, num_data) tuples — the last two may
+    be None (plain full batch)."""
 
     def loss(params, key, batch):
-        Xs, Ys, Xr = batch
-        return -elbo(params, Xs, Ys, Xr, key, num_samples)
+        Xs, Ys, Xr, ws, nd = batch
+        return -elbo(params, Xs, Ys, Xr, key, num_samples,
+                     train_upto_fidelity=train_upto, row_weights=ws,
+                     num_data=nd)
+
+    return loss
+
+
+@functools.lru_cache(maxsize=None)
+def _em_minibatch_loss(num_samples: int, batch_sizes: tuple,
+                       train_upto: int = -1):
+    """-ELBO over per-fidelity uniform minibatches; the X_red[f] projection
+    targets are rows paired with Xs[f+1], so they subsample with the same
+    index draw. batch = (Xs, Ys, X_red, n_trues)."""
+
+    def loss(params, key, batch):
+        Xs, Ys, Xr, n_trues = batch
+        key, ks = jax.random.split(key)
+        idxs = []
+        for f, B in enumerate(batch_sizes):
+            key, kf = jax.random.split(key)
+            idxs.append(jax.random.randint(kf, (B,), 0, n_trues[f]))
+        Xb = tuple(Xs[f][idxs[f]] for f in range(len(batch_sizes)))
+        Yb = tuple(Ys[f][idxs[f]] for f in range(len(batch_sizes)))
+        Xrb = tuple(Xr[f][idxs[f + 1]] for f in range(len(batch_sizes) - 1))
+        return -elbo(params, Xb, Yb, Xrb, ks, num_samples,
+                     train_upto_fidelity=train_upto, num_data=n_trues)
 
     return loss
 
@@ -330,12 +380,17 @@ class MultiFidelityDeepGP_EM:
     name = "mf_dgp_EM"
 
     def __init__(self, X, Y, X_red, Z=None, W=None, n_iter=5000,
-                 fix_inducing=True, num_samples=100, seed=0):
+                 fix_inducing=True, num_samples=100, seed=0,
+                 minibatch_size=None, n_bucket=None):
         dtype = default_float()
         self._X = [jnp.asarray(np.asarray(x), dtype=dtype) for x in X]
         self._Y = [jnp.asarray(np.asarray(y), dtype=dtype) for y in Y]
         self._X_red = [jnp.asarray(np.asarray(x), dtype=dtype) for x in X_red]
         self.num_samples = num_samples
+        if isinstance(minibatch_size, int):
+            minibatch_size = [minibatch_size] * len(X)
+        self.minibatch_size = minibatch_size
+        self.n_bucket = n_bucket
         self._key = jax.random.PRNGKey(seed)
         if Z is None:
             Z = [np.asarray(X[0]).copy()] + [np.asarray(x).copy() for x in X[1:]]
@@ -360,11 +415,38 @@ class MultiFidelityDeepGP_EM:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def _loss_spec(self):
+    def _loss_spec(self, train_upto: int = -1):
         """(stable loss_fn, traced batch) for the cached training engines
-        (training._ENGINE_CACHE)."""
-        return (_em_loss(self.num_samples),
-                (tuple(self._X), tuple(self._Y), tuple(self._X_red)))
+        (training._ENGINE_CACHE). Supports per-fidelity minibatching (the
+        X_red projection rows pair with the next fidelity's index draw) and
+        row bucketing — see mf_dgp._loss_spec."""
+        Xs, Ys = list(self._X), list(self._Y)
+        Xr = list(self._X_red)
+        if self.minibatch_size is not None:
+            sizes = tuple(
+                min(int(b), x.shape[0])
+                for b, x in zip(self.minibatch_size, Xs)
+            )
+            n_trues = tuple(
+                jnp.asarray(x.shape[0], dtype=jnp.int32) for x in Xs
+            )
+            return (_em_minibatch_loss(self.num_samples, sizes, train_upto),
+                    (tuple(Xs), tuple(Ys), tuple(Xr), n_trues))
+        if self.n_bucket:
+            ws, nd = [], []
+            for f in range(len(Xs)):
+                Xp, Yp, w = training.pad_to_bucket(Xs[f], Ys[f],
+                                                    self.n_bucket)
+                if f >= 1:  # X_red[f-1] rows pair with Xs[f] rows
+                    Xr[f - 1] = training.pad_to_bucket(
+                        self._X[f], Xr[f - 1], self.n_bucket)[1]
+                Xs[f], Ys[f] = Xp, Yp
+                ws.append(w)
+                nd.append(jnp.asarray(self._X[f].shape[0], Xp.dtype))
+            return (_em_loss(self.num_samples, train_upto),
+                    (tuple(Xs), tuple(Ys), tuple(Xr), tuple(ws), tuple(nd)))
+        return (_em_loss(self.num_samples, train_upto),
+                (tuple(Xs), tuple(Ys), tuple(Xr), None, None))
 
     def objective(self):
         return _elbo_jit(self.params, tuple(self._X), tuple(self._Y),
@@ -446,12 +528,13 @@ class MultiFidelityDeepGP_EM:
 
     def optimize_nat_adam(self, lr_adam=0.01, lr_gamma=0.01, iterations1=2000,
                           iterations2=5000, iterations3=7500, beta_1=0.9,
-                          beta_2=0.999, epsilon=1e-7, messages=500):
+                          beta_2=0.999, epsilon=1e-7, messages=500,
+                          train_upto_fidelity=-1):
         """3-phase training (MF_DGP_EM.py:501-578): phase 3 runs natural
         gradients over both the fidelity and the reduction layers' q."""
         self._init_variational()
         traces = []
-        loss_fn, batch = self._loss_spec()
+        loss_fn, batch = self._loss_spec(train_upto_fidelity)
         q = {"q_mu", "q_sqrt"}
         lik = {"likelihood", "likelihood_projection"}
         # phase 1: kernels + reduction inducing only
@@ -493,12 +576,12 @@ class MultiFidelityDeepGP_EM:
 
     def optimize_adam(self, lr=0.01, iterations1=2000, iterations2=5000,
                       iterations3=7500, beta_1=0.9, beta_2=0.999, epsilon=1e-7,
-                      messages=500):
+                      messages=500, train_upto_fidelity=-1):
         """3-phase plain Adam (MF_DGP_EM.py:429-499): phase 3 unfreezes the
         fidelity q and the model likelihood."""
         self._init_variational(q_scale_fid=1e-2, q_scale_red=1e-2)
         traces = []
-        loss_fn, batch = self._loss_spec()
+        loss_fn, batch = self._loss_spec(train_upto_fidelity)
         q = {"q_mu", "q_sqrt"}
         lik = {"likelihood", "likelihood_projection"}
         m1 = training.make_mask(

@@ -125,8 +125,16 @@ def predict_f(params: MODGPParams, X, key, S: int, objective: Optional[int] = No
 
 
 def elbo(params: MODGPParams, Xs, Ys, key, num_samples: int, loop: int = 2,
-         train_upto_objective: int = -1):
-    """Per-objective data terms + per-layer KLs (MO_DGP.py:190-217)."""
+         train_upto_objective: int = -1, row_weights=None, num_data=None):
+    """Per-objective data terms + per-layer KLs (MO_DGP.py:190-217).
+
+    :param row_weights: optional per-objective tuple of 0/1 row weights
+        (shape padding, training.pad_to_bucket).
+    :param num_data: optional per-objective full-dataset sizes; data terms
+        are then scaled N/B (the minibatch scale the reference stores and
+        never consumes, MF_DGP.py:88)."""
+    from .mf_dgp import _weighted_data_term
+
     key, kz = jax.random.split(key)
     zs_full = compute_full_zs(params.layers, kz, pad_cols=1)
     n = len(params.layers)
@@ -148,7 +156,10 @@ def elbo(params: MODGPParams, Xs, Ys, key, num_samples: int, loop: int = 2,
                 Fmean, Fvar, Ys[objective],
                 params.layers[objective].kernel.kernels[-1].variance,
             )
-        L += jnp.sum(jnp.mean(var_exp, axis=0))
+        w = None if row_weights is None else row_weights[objective]
+        term, eff = _weighted_data_term(var_exp, w)
+        scale = 1.0 if num_data is None else num_data[objective] / eff
+        L += term * scale
         KL += layer_kl(params.layers[objective], zs_full[objective])
     return L - KL
 
@@ -159,13 +170,38 @@ _predict_f_jit = maybe_jit(predict_f, static_argnums=(3, 4, 5, 6))
 
 
 @functools.lru_cache(maxsize=None)
-def _mo_loss(num_samples: int, loop: int):
+def _mo_loss(num_samples: int, loop: int, train_upto: int = -1):
     """Stable -ELBO object for the cached training engines;
-    batch = (Xs tuple, Ys tuple)."""
+    batch = (Xs, Ys, row_weights, num_data) tuples — the last two may be
+    None (plain full batch)."""
 
     def loss(params, key, batch):
-        Xs, Ys = batch
-        return -elbo(params, Xs, Ys, key, num_samples, loop=loop)
+        Xs, Ys, ws, nd = batch
+        return -elbo(params, Xs, Ys, key, num_samples, loop=loop,
+                     train_upto_objective=train_upto, row_weights=ws,
+                     num_data=nd)
+
+    return loss
+
+
+@functools.lru_cache(maxsize=None)
+def _mo_minibatch_loss(num_samples: int, loop: int, batch_sizes: tuple,
+                       train_upto: int = -1):
+    """-ELBO over per-objective uniform minibatches with the N/B scale;
+    batch = (Xs, Ys, n_trues) with n_trues traced scalars."""
+
+    def loss(params, key, batch):
+        Xs, Ys, n_trues = batch
+        key, ks = jax.random.split(key)
+        Xb, Yb = [], []
+        for f, B in enumerate(batch_sizes):
+            key, kf = jax.random.split(key)
+            idx = jax.random.randint(kf, (B,), 0, n_trues[f])
+            Xb.append(Xs[f][idx])
+            Yb.append(Ys[f][idx])
+        return -elbo(params, tuple(Xb), tuple(Yb), ks, num_samples,
+                     loop=loop, train_upto_objective=train_upto,
+                     num_data=n_trues)
 
     return loss
 
@@ -177,12 +213,17 @@ class MultiObjDeepGP:
     name = "mo_dgp"
 
     def __init__(self, X, Y, Z=None, n_iter=5000, loop=2, fix_inducing=True,
-                 num_samples=10, white_variance=1e-6, seed=0):
+                 num_samples=10, white_variance=1e-6, seed=0,
+                 minibatch_size=None, n_bucket=None):
         dtype = default_float()
         self._X = [jnp.asarray(np.asarray(x), dtype=dtype) for x in X]
         self._Y = [jnp.asarray(np.asarray(y), dtype=dtype) for y in Y]
         self.loop = loop
         self.num_samples = num_samples
+        if isinstance(minibatch_size, int):
+            minibatch_size = [minibatch_size] * len(X)
+        self.minibatch_size = minibatch_size
+        self.n_bucket = n_bucket
         self._key = jax.random.PRNGKey(seed)
         if Z is None:
             Z = self._make_inducing_points(X, Y)
@@ -202,11 +243,34 @@ class MultiObjDeepGP:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def _loss_spec(self):
+    def _loss_spec(self, train_upto: int = -1):
         """(stable loss_fn, traced batch) for the cached training engines
-        (training._ENGINE_CACHE)."""
-        return (_mo_loss(self.num_samples, self.loop),
-                (tuple(self._X), tuple(self._Y)))
+        (training._ENGINE_CACHE); minibatch/bucket variants mirror
+        mf_dgp._loss_spec."""
+        Xs, Ys = list(self._X), list(self._Y)
+        if self.minibatch_size is not None:
+            sizes = tuple(
+                min(int(b), x.shape[0])
+                for b, x in zip(self.minibatch_size, Xs)
+            )
+            n_trues = tuple(
+                jnp.asarray(x.shape[0], dtype=jnp.int32) for x in Xs
+            )
+            return (_mo_minibatch_loss(self.num_samples, self.loop, sizes,
+                                       train_upto),
+                    (tuple(Xs), tuple(Ys), n_trues))
+        if self.n_bucket:
+            ws, nd = [], []
+            for f in range(len(Xs)):
+                Xp, Yp, w = training.pad_to_bucket(Xs[f], Ys[f],
+                                                   self.n_bucket)
+                Xs[f], Ys[f] = Xp, Yp
+                ws.append(w)
+                nd.append(jnp.asarray(self._X[f].shape[0], Xp.dtype))
+            return (_mo_loss(self.num_samples, self.loop, train_upto),
+                    (tuple(Xs), tuple(Ys), tuple(ws), tuple(nd)))
+        return (_mo_loss(self.num_samples, self.loop, train_upto),
+                (tuple(Xs), tuple(Ys), None, None))
 
     def objective(self):
         return _elbo_jit(self.params, tuple(self._X), tuple(self._Y),
@@ -266,13 +330,18 @@ class MultiObjDeepGP:
 
     def optimize_nat_adam(self, lr_adam=0.01, lr_gamma=0.01, iterations1=2000,
                           iterations2=5000, iterations3=7500, messages=500,
-                          q_sqrt_scale=1e-2):
-        """3-phase training (MO_DGP.py:418-494)."""
+                          q_sqrt_scale=1e-2, train_upto_objective=-1):
+        """3-phase training (MO_DGP.py:418-494).
+
+        :param train_upto_objective: restrict the ELBO's data terms to
+            objectives 0..k (the reference's guard had a fatal typo,
+            MO_DGP.py:204); -1 = all.
+        """
         from .dgp import _qs_accessors
 
         self._init_variational(q_sqrt_scale)
         traces = []
-        loss_fn, batch = self._loss_spec()
+        loss_fn, batch = self._loss_spec(train_upto_objective)
         q = {"q_mu", "q_sqrt"}
         m1 = training.make_mask(self.params,
                                 frozen_fields={"likelihood", "z", "z_left"},
@@ -301,11 +370,12 @@ class MultiObjDeepGP:
         return jnp.concatenate([jnp.ravel(t) for t in traces]) if traces else jnp.zeros((0,))
 
     def optimize_adam(self, lr=0.01, iterations1=2000, iterations2=5000,
-                      iterations3=7500, messages=500, q_sqrt_scale=1e-5):
+                      iterations3=7500, messages=500, q_sqrt_scale=1e-5,
+                      train_upto_objective=-1):
         """3-phase plain-Adam variant (MO_DGP.py:345-417)."""
         self._init_variational(q_sqrt_scale)
         traces = []
-        loss_fn, batch = self._loss_spec()
+        loss_fn, batch = self._loss_spec(train_upto_objective)
         q = {"q_mu", "q_sqrt"}
         m1 = training.make_mask(self.params,
                                 frozen_fields={"likelihood", "z", "z_left"},

@@ -119,3 +119,114 @@ def test_psi_definition():
         (b - mu) / sigma
     )
     np.testing.assert_allclose(float(psi(a, b, mu, sigma)), expected, rtol=1e-7)
+
+
+def _fake_moments_factory(means, varis, corr_rho=None, seed=0):
+    """Stand-in for _mo_moments_and_samples_pure: fixed Gaussian moments,
+    samples drawn host-side (optionally with correlated objectives)."""
+    rng = np.random.default_rng(seed)
+
+    def fake(kind, loop, state, Xcand, S, key, need_samples):
+        m0 = jnp.asarray(means[:, :1])
+        m1 = jnp.asarray(means[:, 1:])
+        v0 = jnp.asarray(varis[:, :1])
+        v1 = jnp.asarray(varis[:, 1:])
+        samples = None
+        if need_samples:
+            z = rng.normal(size=(S, means.shape[0], 2))
+            if corr_rho is not None:
+                z2 = corr_rho * z[:, :, 0] + np.sqrt(1 - corr_rho**2) * z[:, :, 1]
+                z = np.stack([z[:, :, 0], z2], axis=2)
+            samples = jnp.asarray(means[None] + np.sqrt(varis)[None] * z)
+        return m0, v0, m1, v1, samples
+
+    return fake
+
+
+_FRONT = [(2.0, -1.0), (0.0, 0.5), (-1.0, 2.0)]
+_NADIR, _IDEAL = (6.0, 5.0), (-8.0, -8.0)
+_MEANS = np.array([[0.5, 0.0], [-0.5, -0.5]])
+_VARIS = np.array([[0.6, 0.8], [0.3, 0.4]])
+
+
+def _ynd():
+    Y0 = np.array([[a] for a, _ in _FRONT])
+    Y1 = np.array([[b] for _, b in _FRONT])
+    return Y_ND([Y0, Y1], [0, 1, 2], nadir=_NADIR, ideal=_IDEAL)
+
+
+def test_ehvi_kde_converges_to_exact(monkeypatch):
+    """The KDE estimator (EHVI.py:192-197 semantics) over Gaussian samples
+    must converge to the exact estimator: its Silverman bandwidth smooths the
+    predictive by b^2 ~ S^(-1/3) * s^2, i.e. a few % variance inflation at
+    S=10000."""
+    import dgp_tpu.bo.ehvi as ehvi_mod
+
+    monkeypatch.setattr(ehvi_mod, "_mo_model_state",
+                        lambda m: ("two_dgp", None, None))
+    YND = _ynd()
+    monkeypatch.setattr(ehvi_mod, "_mo_moments_and_samples_pure",
+                        _fake_moments_factory(_MEANS, _VARIS))
+    exact = np.asarray(EHVI(None, np.zeros((2, 1)), YND, approximation="None",
+                            S=10))
+    monkeypatch.setattr(ehvi_mod, "_mo_moments_and_samples_pure",
+                        _fake_moments_factory(_MEANS, _VARIS, seed=1))
+    kde = np.asarray(EHVI(None, np.zeros((2, 1)), YND, approximation="KDE",
+                          S=10000))
+    np.testing.assert_allclose(kde, exact, rtol=0.06)
+    # coarser sampling still lands in a 10% band
+    monkeypatch.setattr(ehvi_mod, "_mo_moments_and_samples_pure",
+                        _fake_moments_factory(_MEANS, _VARIS, seed=2))
+    kde_1k = np.asarray(EHVI(None, np.zeros((2, 1)), YND, approximation="KDE",
+                             S=1000))
+    np.testing.assert_allclose(kde_1k, exact, rtol=0.10)
+
+
+def test_ehvi_gaussian_estimator_bands_and_ranking(monkeypatch):
+    """The Gaussian cell-integral approximation (EHVI.py:158-191 semantics)
+    is crude by construction; pin its measured quality: within a 50% band of
+    the exact estimator, positive, and candidate ranking preserved. Its
+    corr=True branch with *uncorrelated* samples must agree with the
+    independent (diagonal) branch."""
+    import dgp_tpu.bo.ehvi as ehvi_mod
+
+    monkeypatch.setattr(ehvi_mod, "_mo_model_state",
+                        lambda m: ("two_dgp", None, None))
+    YND = _ynd()
+    monkeypatch.setattr(ehvi_mod, "_mo_moments_and_samples_pure",
+                        _fake_moments_factory(_MEANS, _VARIS))
+    exact = np.asarray(EHVI(None, np.zeros((2, 1)), YND, approximation="None",
+                            S=10)).ravel()
+    gauss = np.asarray(EHVI(None, np.zeros((2, 1)), YND,
+                            approximation="Gaussian", S=10)).ravel()
+    assert np.all(gauss > 0)
+    assert np.all(np.abs(gauss - exact) / exact < 0.5)
+    assert (gauss[1] > gauss[0]) == (exact[1] > exact[0])  # ranking kept
+    monkeypatch.setattr(ehvi_mod, "_mo_moments_and_samples_pure",
+                        _fake_moments_factory(_MEANS, _VARIS, corr_rho=0.0,
+                                              seed=3))
+    gauss_corr0 = np.asarray(EHVI(None, np.zeros((2, 1)), YND, corr=True,
+                                  approximation="Gaussian", S=10000)).ravel()
+    np.testing.assert_allclose(gauss_corr0, gauss, rtol=0.05)
+
+
+def test_ehvi_gaussian_corr_consumes_sample_covariance(monkeypatch):
+    """Positively correlated objectives raise the true EHVI on this fixture
+    (MC truth 1.44 -> 1.82 at rho=0.8); the corr=True Gaussian estimator must
+    move the same direction because it estimates Sigma from the samples."""
+    import dgp_tpu.bo.ehvi as ehvi_mod
+
+    monkeypatch.setattr(ehvi_mod, "_mo_model_state",
+                        lambda m: ("two_dgp", None, None))
+    YND = _ynd()
+    monkeypatch.setattr(ehvi_mod, "_mo_moments_and_samples_pure",
+                        _fake_moments_factory(_MEANS, _VARIS, corr_rho=0.0,
+                                              seed=4))
+    g_ind = np.asarray(EHVI(None, np.zeros((2, 1)), YND, corr=True,
+                            approximation="Gaussian", S=10000)).ravel()
+    monkeypatch.setattr(ehvi_mod, "_mo_moments_and_samples_pure",
+                        _fake_moments_factory(_MEANS, _VARIS, corr_rho=0.8,
+                                              seed=4))
+    g_cor = np.asarray(EHVI(None, np.zeros((2, 1)), YND, corr=True,
+                            approximation="Gaussian", S=10000)).ravel()
+    assert np.all(g_cor > g_ind)

@@ -132,3 +132,80 @@ def test_predict_density_and_adam_variant():
     losses = np.asarray(m.optimize_adam(lr=0.01, iterations1=20, iterations2=20,
                                         iterations3=20, messages=0))
     assert losses.shape == (60,) and np.all(np.isfinite(losses))
+
+
+def test_mf_weighted_scale_identity():
+    """Unit row weights + num_data=N must equal the plain ELBO exactly (the
+    per-fidelity N_f/B_f scale of MF_DGP.py:219-220 is 1 at full batch)."""
+    X, Y, _, _ = park_data(n_low=12, n_high=4)
+    m = MultiFidelityDeepGP(X, Y, num_samples=3)
+    Xs, Ys = tuple(m._X), tuple(m._Y)
+    key = jax.random.PRNGKey(0)
+    e0 = float(mf_dgp.elbo(m.params, Xs, Ys, key, 3))
+    ws = tuple(jnp.ones(x.shape[0]) for x in Xs)
+    nd = tuple(jnp.asarray(x.shape[0], x.dtype) for x in Xs)
+    e1 = float(mf_dgp.elbo(m.params, Xs, Ys, key, 3, row_weights=ws,
+                           num_data=nd))
+    assert abs(e0 - e1) < 1e-10
+
+
+def test_mf_padded_rows_contribute_nothing():
+    """Bucketed rows with weight 0 are pure shape padding: swapping their Y
+    values must not change the weighted ELBO."""
+    from dgp_tpu.models import training
+
+    X, Y, _, _ = park_data(n_low=12, n_high=4)
+    m = MultiFidelityDeepGP(X, Y, num_samples=3, n_bucket=8)
+    loss_fn, batch = m._loss_spec()
+    Xs, Ys, ws, nd = batch
+    assert Xs[0].shape[0] == 16 and Xs[1].shape[0] == 8
+    key = jax.random.PRNGKey(2)
+    e_a = float(loss_fn(m.params, key, batch))
+    Ys_b = (Ys[0].at[12:].set(321.0), Ys[1].at[4:].set(-77.0))
+    e_b = float(loss_fn(m.params, key, (Xs, Ys_b, ws, nd)))
+    assert abs(e_a - e_b) < 1e-10
+
+
+def test_mf_minibatch_training_runs():
+    """Live per-fidelity minibatching with the N_f/B_f scale; n growth stays
+    compile-stable via traced n_trues."""
+    X, Y, _, _ = park_data(n_low=20, n_high=6)
+    m = MultiFidelityDeepGP(X, Y, num_samples=2, minibatch_size=[8, 4])
+    losses = np.asarray(m.optimize_nat_adam(
+        lr_adam=0.01, iterations1=5, iterations2=5, iterations3=5, messages=0))
+    assert losses.shape == (15,) and np.all(np.isfinite(losses))
+
+
+def test_mf_minibatch_scale_unbiased():
+    """E_key[minibatch -ELBO] ~= full-batch -ELBO data term: the N_f/B_f
+    scale makes the stochastic data term an unbiased estimator (KL is
+    deterministic and shared)."""
+    X, Y, _, _ = park_data(n_low=12, n_high=4)
+    m_full = MultiFidelityDeepGP(X, Y, num_samples=64)
+    loss_full, batch_full = m_full._loss_spec()
+    vals_full = [float(loss_full(m_full.params, jax.random.PRNGKey(k),
+                                 batch_full)) for k in range(6)]
+    m_mb = MultiFidelityDeepGP(X, Y, num_samples=64, minibatch_size=[6, 2])
+    loss_mb, batch_mb = m_mb._loss_spec()
+    vals_mb = [float(loss_mb(m_mb.params, jax.random.PRNGKey(100 + k),
+                             batch_mb)) for k in range(40)]
+    mu_f, mu_b = np.mean(vals_full), np.mean(vals_mb)
+    assert abs(mu_b - mu_f) / abs(mu_f) < 0.05, (mu_f, mu_b)
+
+
+def test_mf_wrapper_train_upto_fidelity():
+    """train_upto_fidelity=0 through the wrapper: only the low-fidelity data
+    term trains — layer 1's q must stay at its init."""
+    X, Y, _, _ = park_data(n_low=12, n_high=4)
+    m = MultiFidelityDeepGP(X, Y, num_samples=2)
+    m._init_variational()
+    q1_before = np.asarray(m.params.layers[1].q_mu).copy()
+    k0_before = np.asarray(
+        jax.tree_util.tree_leaves(m.params.layers[0].kernel)[0]).copy()
+    m.optimize_adam(lr=0.05, iterations1=10, iterations2=10, iterations3=10,
+                    messages=0, train_upto_fidelity=0)
+    np.testing.assert_array_equal(np.asarray(m.params.layers[1].q_mu),
+                                  q1_before)
+    k0_after = np.asarray(
+        jax.tree_util.tree_leaves(m.params.layers[0].kernel)[0])
+    assert not np.array_equal(k0_before, k0_after)

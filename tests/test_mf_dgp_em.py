@@ -108,3 +108,44 @@ def test_three_fidelity_variant_dims():
         assert np.all(np.isfinite(np.asarray(leaf)))
     mean, var = m.predict(X[2])
     assert mean.shape == (5, 1) and np.all(np.isfinite(mean))
+
+
+def test_em_weighted_scale_identity():
+    """Unit weights + num_data=N equal the plain ELBO exactly, including the
+    N_{f+1}/N_f projection-term quirk (MF_DGP_EM.py:292-293)."""
+    X, Y, X_red = park_vd_data(n_low=12, n_high=4)
+    m = MultiFidelityDeepGP_EM(X, Y, X_red, num_samples=3)
+    Xs, Ys, Xr = tuple(m._X), tuple(m._Y), tuple(m._X_red)
+    key = jax.random.PRNGKey(0)
+    e0 = float(mf_dgp_em.elbo(m.params, Xs, Ys, Xr, key, 3))
+    ws = tuple(jnp.ones(x.shape[0]) for x in Xs)
+    nd = tuple(jnp.asarray(x.shape[0], x.dtype) for x in Xs)
+    e1 = float(mf_dgp_em.elbo(m.params, Xs, Ys, Xr, key, 3, row_weights=ws,
+                              num_data=nd))
+    assert abs(e0 - e1) < 1e-10
+
+
+def test_em_padded_rows_contribute_nothing():
+    """Bucketed EM: weight-0 rows (and their paired X_red projection rows)
+    are pure padding — swapping their values changes nothing."""
+    X, Y, X_red = park_vd_data(n_low=12, n_high=4)
+    m = MultiFidelityDeepGP_EM(X, Y, X_red, num_samples=3, n_bucket=8)
+    loss_fn, batch = m._loss_spec()
+    Xs, Ys, Xr, ws, nd = batch
+    assert Xs[0].shape[0] == 16 and Xs[1].shape[0] == 8
+    assert Xr[0].shape[0] == 8  # padded in lockstep with fidelity 1
+    key = jax.random.PRNGKey(2)
+    e_a = float(loss_fn(m.params, key, batch))
+    Ys_b = (Ys[0].at[12:].set(55.0), Ys[1].at[4:].set(-3.0))
+    Xr_b = (Xr[0].at[4:].set(9.0),)
+    e_b = float(loss_fn(m.params, key, (Xs, Ys_b, Xr_b, ws, nd)))
+    assert abs(e_a - e_b) < 1e-10
+
+
+def test_em_minibatch_training_runs():
+    X, Y, X_red = park_vd_data(n_low=20, n_high=6)
+    m = MultiFidelityDeepGP_EM(X, Y, X_red, num_samples=2,
+                               minibatch_size=[8, 4])
+    losses = np.asarray(m.optimize_nat_adam(
+        lr_adam=0.01, iterations1=4, iterations2=4, iterations3=4, messages=0))
+    assert losses.shape == (12,) and np.all(np.isfinite(losses))

@@ -115,3 +115,51 @@ def test_mo_adam_variant_and_predict_density():
     assert losses.shape == (40,) and np.all(np.isfinite(losses))
     dens = np.asarray(m.predict_density(X[0][:4], Y[1][:4], 6))
     assert dens.shape == (4, 1) and np.all(np.isfinite(dens))
+
+
+def test_mo_weighted_scale_identity():
+    X, Y, _ = mo_data(n=10)
+    m = MultiObjDeepGP(X, Y, loop=2)
+    Xs, Ys = tuple(m._X), tuple(m._Y)
+    key = jax.random.PRNGKey(0)
+    e0 = float(mo_dgp.elbo(m.params, Xs, Ys, key, 3, loop=2))
+    ws = tuple(jnp.ones(x.shape[0]) for x in Xs)
+    nd = tuple(jnp.asarray(x.shape[0], x.dtype) for x in Xs)
+    e1 = float(mo_dgp.elbo(m.params, Xs, Ys, key, 3, loop=2, row_weights=ws,
+                           num_data=nd))
+    assert abs(e0 - e1) < 1e-10
+
+
+def test_mo_padded_rows_contribute_nothing():
+    X, Y, _ = mo_data(n=10)
+    m = MultiObjDeepGP(X, Y, loop=2, num_samples=3, n_bucket=8)
+    loss_fn, batch = m._loss_spec()
+    Xs, Ys, ws, nd = batch
+    assert Xs[0].shape[0] == 16
+    key = jax.random.PRNGKey(2)
+    e_a = float(loss_fn(m.params, key, batch))
+    Ys_b = (Ys[0].at[10:].set(44.0), Ys[1].at[10:].set(-9.0))
+    e_b = float(loss_fn(m.params, key, (Xs, Ys_b, ws, nd)))
+    assert abs(e_a - e_b) < 1e-10
+
+
+def test_mo_minibatch_and_train_upto_objective():
+    X, Y, _ = mo_data(n=12)
+    m = MultiObjDeepGP(X, Y, loop=1, num_samples=2, minibatch_size=6)
+    losses = np.asarray(m.optimize_adam(
+        lr=0.01, iterations1=4, iterations2=4, iterations3=4, messages=0))
+    assert losses.shape == (12,) and np.all(np.isfinite(losses))
+    # train_upto_objective=0 drops objective 1's data term + KL from the
+    # ELBO (layer 1 still receives gradients through the recurrent
+    # alternation — objective 0's propagate path uses both layers)
+    m2 = MultiObjDeepGP(X, Y, loop=1, num_samples=2)
+    Xs, Ys = tuple(m2._X), tuple(m2._Y)
+    key = jax.random.PRNGKey(3)
+    e_upto = float(mo_dgp.elbo(m2.params, Xs, Ys, key, 3, loop=1,
+                               train_upto_objective=0))
+    e_full = float(mo_dgp.elbo(m2.params, Xs, Ys, key, 3, loop=1))
+    assert np.isfinite(e_upto) and e_upto != e_full
+    losses2 = np.asarray(m2.optimize_adam(
+        lr=0.05, iterations1=5, iterations2=5, iterations3=5,
+        messages=0, train_upto_objective=0))
+    assert np.all(np.isfinite(losses2))
