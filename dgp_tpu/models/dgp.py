@@ -207,6 +207,7 @@ class DGP:
         num_samples=1,
         minibatch_size: Optional[int] = None,
         n_bucket: Optional[int] = None,
+        mesh=None,
         seed=0,
     ):
         dtype = default_float()
@@ -219,6 +220,7 @@ class DGP:
         self.num_samples = num_samples
         self.minibatch_size = minibatch_size
         self.n_bucket = n_bucket
+        self.mesh = mesh
         self.data = (
             jnp.asarray(np.asarray(X), dtype=dtype),
             jnp.asarray(np.asarray(Y), dtype=dtype),
@@ -227,7 +229,7 @@ class DGP:
 
     @classmethod
     def from_layers(cls, X, Y, layers, likelihood=None, num_samples=1,
-                    minibatch_size=None, n_bucket=None, seed=0):
+                    minibatch_size=None, n_bucket=None, mesh=None, seed=0):
         """Build a DGP from a custom layer stack (the reference's direct
         ``DGP_Base(likelihood, layers)`` construction, dgp.py:21-32)."""
         self = cls.__new__(cls)
@@ -237,6 +239,7 @@ class DGP:
         self.num_samples = num_samples
         self.minibatch_size = minibatch_size
         self.n_bucket = n_bucket
+        self.mesh = mesh
         self.data = (
             jnp.asarray(np.asarray(X), dtype=dtype),
             jnp.asarray(np.asarray(Y), dtype=dtype),
@@ -257,11 +260,28 @@ class DGP:
         a ``minibatch_size`` it never consumes, MF_DGP.py:88 — here it is
         live). With ``n_bucket`` set, (X, Y) is padded to the next row bucket
         so the jitted engine's shapes — and therefore its compilation — are
-        stable while a BO loop grows N one point at a time."""
+        stable while a BO loop grows N one point at a time. With ``mesh``
+        set, the ELBO runs data-parallel under shard_map (rows padded to a
+        device multiple with 0/1 weights; psum over ICI) through the same
+        cached engines."""
         X, Y = self.data
         S = self.num_samples
         B = self.minibatch_size
         N = X.shape[0]
+        if self.mesh is not None:
+            if B is not None and B < N:
+                raise NotImplementedError(
+                    "minibatch_size with mesh is not supported yet — shard "
+                    "the full batch (rows already stream from HBM) or drop "
+                    "the mesh"
+                )
+            from ..parallel.data_parallel import (
+                pad_shard_batch,
+                sharded_dgp_loss,
+            )
+
+            Xp, Yp, w, n = pad_shard_batch(self.mesh, X, Y, self.n_bucket)
+            return sharded_dgp_loss(self.mesh, S), (Xp, Yp, w, n)
         if B is not None and B < N:
             if self.n_bucket:
                 X, Y, _ = training.pad_to_bucket(X, Y, self.n_bucket)

@@ -296,7 +296,7 @@ class MultiFidelityDeepGP:
 
     def __init__(self, X, Y, Z=None, n_iter=5000, fix_inducing=True,
                  num_samples=10, add_linear=True, seed=0,
-                 minibatch_size=None, n_bucket=None):
+                 minibatch_size=None, n_bucket=None, mesh=None):
         dtype = default_float()
         self._X = [jnp.asarray(np.asarray(x), dtype=dtype) for x in X]
         self._Y = [jnp.asarray(np.asarray(y), dtype=dtype) for y in Y]
@@ -309,6 +309,7 @@ class MultiFidelityDeepGP:
             minibatch_size = [minibatch_size] * len(X)
         self.minibatch_size = minibatch_size
         self.n_bucket = n_bucket
+        self.mesh = mesh
         self._key = jax.random.PRNGKey(seed)
         if Z is None:
             Z = [np.asarray(X[0]).copy()] + [np.asarray(x).copy() for x in X[1:]]
@@ -333,8 +334,23 @@ class MultiFidelityDeepGP:
 
         With ``minibatch_size``: per-fidelity uniform batches + N_f/B_f
         scale. With ``n_bucket``: rows padded per fidelity with 0/1 weights
-        so a growing dataset keeps stable compiled shapes."""
+        so a growing dataset keeps stable compiled shapes. With ``mesh``:
+        every fidelity's rows shard over the data axis under shard_map."""
         Xs, Ys = list(self._X), list(self._Y)
+        if self.mesh is not None:
+            if self.minibatch_size is not None:
+                raise NotImplementedError(
+                    "minibatch_size with mesh is not supported yet"
+                )
+            from ..parallel.data_parallel import (
+                pad_shard_fidelity_batch,
+                sharded_mf_loss,
+            )
+
+            batch = pad_shard_fidelity_batch(self.mesh, Xs, Ys,
+                                             self.n_bucket)
+            return sharded_mf_loss(self.mesh, self.num_samples,
+                                   train_upto), batch
         if self.minibatch_size is not None:
             sizes = tuple(
                 min(int(b), x.shape[0])

@@ -381,7 +381,7 @@ class MultiFidelityDeepGP_EM:
 
     def __init__(self, X, Y, X_red, Z=None, W=None, n_iter=5000,
                  fix_inducing=True, num_samples=100, seed=0,
-                 minibatch_size=None, n_bucket=None):
+                 minibatch_size=None, n_bucket=None, mesh=None):
         dtype = default_float()
         self._X = [jnp.asarray(np.asarray(x), dtype=dtype) for x in X]
         self._Y = [jnp.asarray(np.asarray(y), dtype=dtype) for y in Y]
@@ -391,6 +391,7 @@ class MultiFidelityDeepGP_EM:
             minibatch_size = [minibatch_size] * len(X)
         self.minibatch_size = minibatch_size
         self.n_bucket = n_bucket
+        self.mesh = mesh
         self._key = jax.random.PRNGKey(seed)
         if Z is None:
             Z = [np.asarray(X[0]).copy()] + [np.asarray(x).copy() for x in X[1:]]
@@ -422,6 +423,31 @@ class MultiFidelityDeepGP_EM:
         row bucketing — see mf_dgp._loss_spec."""
         Xs, Ys = list(self._X), list(self._Y)
         Xr = list(self._X_red)
+        if self.mesh is not None:
+            if self.minibatch_size is not None:
+                raise NotImplementedError(
+                    "minibatch_size with mesh is not supported yet"
+                )
+            import math
+
+            from ..parallel.data_parallel import sharded_em_loss
+            from ..parallel.mesh import shard_batch
+
+            n_dev = self.mesh.shape["data"]
+            bucket = math.lcm(n_dev, self.n_bucket or 1)
+            ws, nds = [], []
+            for f in range(len(Xs)):
+                Xp, Yp, w = training.pad_to_bucket(Xs[f], Ys[f], bucket)
+                if f >= 1:  # X_red[f-1] rows pair with Xs[f] rows
+                    Xrp = training.pad_to_bucket(self._X[f], Xr[f - 1],
+                                                 bucket)[1]
+                    Xr[f - 1] = shard_batch(self.mesh, Xrp)
+                Xp, Yp, w = shard_batch(self.mesh, Xp, Yp, w)
+                Xs[f], Ys[f] = Xp, Yp
+                ws.append(w)
+                nds.append(jnp.asarray(self._X[f].shape[0], Xp.dtype))
+            return (sharded_em_loss(self.mesh, self.num_samples, train_upto),
+                    (tuple(Xs), tuple(Ys), tuple(Xr), tuple(ws), tuple(nds)))
         if self.minibatch_size is not None:
             sizes = tuple(
                 min(int(b), x.shape[0])

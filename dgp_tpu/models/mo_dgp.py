@@ -214,7 +214,7 @@ class MultiObjDeepGP:
 
     def __init__(self, X, Y, Z=None, n_iter=5000, loop=2, fix_inducing=True,
                  num_samples=10, white_variance=1e-6, seed=0,
-                 minibatch_size=None, n_bucket=None):
+                 minibatch_size=None, n_bucket=None, mesh=None):
         dtype = default_float()
         self._X = [jnp.asarray(np.asarray(x), dtype=dtype) for x in X]
         self._Y = [jnp.asarray(np.asarray(y), dtype=dtype) for y in Y]
@@ -224,6 +224,7 @@ class MultiObjDeepGP:
             minibatch_size = [minibatch_size] * len(X)
         self.minibatch_size = minibatch_size
         self.n_bucket = n_bucket
+        self.mesh = mesh
         self._key = jax.random.PRNGKey(seed)
         if Z is None:
             Z = self._make_inducing_points(X, Y)
@@ -245,9 +246,23 @@ class MultiObjDeepGP:
 
     def _loss_spec(self, train_upto: int = -1):
         """(stable loss_fn, traced batch) for the cached training engines
-        (training._ENGINE_CACHE); minibatch/bucket variants mirror
+        (training._ENGINE_CACHE); minibatch/bucket/mesh variants mirror
         mf_dgp._loss_spec."""
         Xs, Ys = list(self._X), list(self._Y)
+        if self.mesh is not None:
+            if self.minibatch_size is not None:
+                raise NotImplementedError(
+                    "minibatch_size with mesh is not supported yet"
+                )
+            from ..parallel.data_parallel import (
+                pad_shard_fidelity_batch,
+                sharded_mo_loss,
+            )
+
+            batch = pad_shard_fidelity_batch(self.mesh, Xs, Ys,
+                                             self.n_bucket)
+            return (sharded_mo_loss(self.mesh, self.num_samples, self.loop,
+                                    train_upto), batch)
         if self.minibatch_size is not None:
             sizes = tuple(
                 min(int(b), x.shape[0])

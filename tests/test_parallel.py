@@ -158,3 +158,95 @@ def test_multislice_gradients_match_single_device():
         # Kuu amplifies it (same tolerance as the 1-D mesh grad test above)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-8)
+
+
+def test_mesh_trainer_integration_matches_single_device():
+    """DGP(mesh=...) trains through the SAME cached scan engines as the
+    single-device path; on a sampling-free single-layer model the whole
+    multi-step Adam+NatGrad trajectory must match to fp tolerance
+    (N=44 is not device-divisible: exercises the weighted row padding)."""
+    from dgp_tpu.models import training
+
+    rng = np.random.default_rng(5)
+    N = 44
+    X = rng.uniform(0, 1, size=(N, 1))
+    Y = np.sin(5 * X)
+    kerns = lambda: [K.RBF.create(lengthscales=[1.0])]
+
+    m_single = DGP(X, Y, X[:6].copy(), kerns(), [], num_samples=2, seed=7)
+    m_single.optimize_nat_adam(iterations1=5, iterations2=5, messages=0)
+
+    mesh = make_mesh(8)
+    m_mesh = DGP(X, Y, X[:6].copy(), kerns(), [], num_samples=2, seed=7,
+                 mesh=mesh)
+    m_mesh.optimize_nat_adam(iterations1=5, iterations2=5, messages=0)
+
+    for a, b in zip(jax.tree_util.tree_leaves(m_single.params),
+                    jax.tree_util.tree_leaves(m_mesh.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-9)
+
+    # the sharded engines live in the same cache and are reused by a fresh
+    # instance of the same architecture
+    n_engines = training.engine_cache_size()
+    m2 = DGP(X, Y, X[:6].copy(), kerns(), [], num_samples=2, seed=3, mesh=mesh)
+    m2.optimize_nat_adam(iterations1=5, iterations2=5, messages=0)
+    assert training.engine_cache_size() == n_engines
+
+
+def test_mesh_mf_dgp_training():
+    """MF-DGP with a mesh: sharded per-fidelity data terms; padded rows are
+    exact no-ops; short training runs finite through the public API."""
+    from dgp_tpu.models.mf_dgp import MultiFidelityDeepGP
+
+    rng = np.random.default_rng(0)
+    X = [rng.uniform(0, 1, (21, 2)), rng.uniform(0, 1, (6, 2))]
+    f = lambda x: np.sin(3 * x[:, :1]) + x[:, 1:]
+    Y = [f(X[0]) + 0.3, f(X[1])]
+    mesh = make_mesh(8)
+    m = MultiFidelityDeepGP(X, Y, num_samples=2, mesh=mesh)
+    loss_fn, batch = m._loss_spec()
+    Xs, Ys, ws, nds = batch
+    assert Xs[0].shape[0] == 24 and Xs[1].shape[0] == 8
+    key = jax.random.PRNGKey(0)
+    e_a = float(loss_fn(m.params, key, batch))
+    assert np.isfinite(e_a)
+    # swapping pad-row Y values changes nothing (exact weighted decoupling
+    # inside shard_map)
+    Ys_b = (Ys[0].at[21:].set(100.0), Ys[1].at[6:].set(-5.0))
+    e_b = float(loss_fn(m.params, key, (Xs, Ys_b, ws, nds)))
+    np.testing.assert_allclose(e_a, e_b, rtol=1e-12)
+    losses = np.asarray(m.optimize_nat_adam(
+        lr_adam=0.01, iterations1=3, iterations2=3, iterations3=3,
+        messages=0))
+    assert losses.shape == (9,) and np.all(np.isfinite(losses))
+
+
+def test_mesh_mo_and_em_training_smoke():
+    from dgp_tpu.bo.doe import lhs
+    from dgp_tpu.models.mf_dgp_em import MultiFidelityDeepGP_EM
+    from dgp_tpu.models.mo_dgp import MultiObjDeepGP
+    from dgp_tpu.utils.test_functions import park_vd_high, park_vd_low
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(1)
+    Xm = rng.uniform(0, 1, (10, 1))
+    Ym0 = np.sin(3 * Xm)
+    Ym1 = np.cos(2 * Xm)
+    mo = MultiObjDeepGP([Xm, Xm.copy()], [Ym0, Ym1], loop=1, num_samples=2,
+                        mesh=mesh)
+    losses = np.asarray(mo.optimize_adam(
+        lr=0.01, iterations1=3, iterations2=3, iterations3=3, messages=0))
+    assert np.all(np.isfinite(losses))
+
+    X = [lhs(2, 12, seed=123), lhs(4, 5, seed=0)]
+    Y = [park_vd_low(X[0]), park_vd_high(X[1])]
+    X_red = [X[1][:, :2]]
+    em = MultiFidelityDeepGP_EM(X, Y, X_red, num_samples=2, mesh=mesh)
+    loss_fn, batch = em._loss_spec()
+    assert batch[0][0].shape[0] == 16 and batch[0][1].shape[0] == 8
+    assert batch[2][0].shape[0] == 8  # X_red padded with fidelity 1
+    losses = np.asarray(em.optimize_nat_adam(
+        lr_adam=0.01, iterations1=3, iterations2=3, iterations3=3,
+        messages=0))
+    assert np.all(np.isfinite(losses))
