@@ -331,11 +331,19 @@ class DGP:
                 total += int(np.prod(np.shape(leaf)))
         return total
 
+    def _checkpoint_fn(self, checkpoint_path):
+        return (training.make_checkpoint_fn(checkpoint_path)
+                if checkpoint_path else None)
+
     def optimize_adam(
         self, iterations=5000, lr=0.01, beta_1=0.9, beta_2=0.999,
-        epsilon=1e-7, messages=100,
+        epsilon=1e-7, messages=100, checkpoint_path=None, checkpoint_every=0,
     ):
-        """Plain Adam on everything, inner q_sqrt shrunk 1e-3 (dgp.py:255-278)."""
+        """Plain Adam on everything, inner q_sqrt shrunk 1e-3 (dgp.py:255-278).
+
+        :param checkpoint_path: with ``checkpoint_every`` > 0, the phase runs
+            as chunked scans saving params here between chunks, so a long
+            run survives preemption (restore via utils.checkpoint.load)."""
         self.params = shrink_inner_q_sqrt(self.params)
         mask = training.make_mask(self.params)
         loss_fn, batch = self._loss_spec()
@@ -343,12 +351,15 @@ class DGP:
             loss_fn, self.params, mask, self._next_key(),
             steps=iterations, lr=lr, b1=beta_1, b2=beta_2, eps=epsilon,
             messages=messages, data=batch,
+            checkpoint_every=checkpoint_every,
+            checkpoint_fn=self._checkpoint_fn(checkpoint_path),
         )
         return losses
 
     def optimize_nat_adam(
         self, iterations1=100, iterations2=5000, lr_adam=0.01, lr_gamma=0.01,
         beta_1=0.9, beta_2=0.999, epsilon=1e-7, ng_all=True, messages=100,
+        checkpoint_path=None, checkpoint_every=0,
     ):
         """Two-phase Adam -> Adam+NatGrad training (dgp.py:280-345)."""
         self.params = shrink_inner_q_sqrt(self.params)
@@ -358,11 +369,13 @@ class DGP:
         euclid_mask = training.make_mask(self.params, frozen_layer_fields=frozen)
         loss_fn, batch = self._loss_spec()
         get_q, set_q = _qs_accessors(sel)
+        ckpt_fn = self._checkpoint_fn(checkpoint_path)
 
         self.params, losses1 = training.adam_run(
             loss_fn, self.params, euclid_mask, self._next_key(),
             steps=iterations1, lr=lr_adam, b1=beta_1, b2=beta_2, eps=epsilon,
             messages=messages, data=batch,
+            checkpoint_every=checkpoint_every, checkpoint_fn=ckpt_fn,
         )
         self.params, losses2 = training.nat_adam_run(
             loss_fn, self.params, euclid_mask,
@@ -370,5 +383,6 @@ class DGP:
             key=self._next_key(),
             steps=iterations2, lr_adam=lr_adam, gamma=lr_gamma,
             b1=beta_1, b2=beta_2, eps=epsilon, messages=messages, data=batch,
+            checkpoint_every=checkpoint_every, checkpoint_fn=ckpt_fn,
         )
         return jnp.concatenate([losses1, losses2]) if iterations1 else losses2

@@ -455,7 +455,8 @@ class MultiFidelityDeepGP:
     def optimize_adam(self, lr=0.01, iterations1=2000, iterations2=5000,
                       iterations3=7500, beta_1=0.9, beta_2=0.999,
                       epsilon=1e-7, messages=500, q_sqrt_scale=1e-2,
-                      train_upto_fidelity=-1):
+                      train_upto_fidelity=-1,
+                      checkpoint_path=None, checkpoint_every=0):
         """3-phase Adam (MF_DGP.py:345-424); phase 3 unfreezes q + likelihood
         for Adam instead of natural gradients.
 
@@ -466,6 +467,8 @@ class MultiFidelityDeepGP:
         self._init_variational(q_sqrt_scale)
         traces = []
         loss_fn, batch = self._loss_spec(train_upto_fidelity)
+        _ckpt = (training.make_checkpoint_fn(checkpoint_path)
+                 if checkpoint_path else None)
         m1, m2, _ = self._phase_masks()
         m3 = training.make_mask(self.params)  # everything (but means)
         for steps, mask in ((iterations1, m1), (iterations2, m2),
@@ -473,7 +476,8 @@ class MultiFidelityDeepGP:
             self.params, _ls = training.adam_run(
                 loss_fn, self.params, mask, self._next_key(), steps=steps,
                 lr=lr, b1=beta_1, b2=beta_2, eps=epsilon, messages=messages,
-                data=batch,
+                data=batch, checkpoint_every=checkpoint_every,
+                checkpoint_fn=_ckpt,
             )
             traces.append(_ls)
         return jnp.concatenate([jnp.ravel(t) for t in traces]) if traces else jnp.zeros((0,))
@@ -481,7 +485,8 @@ class MultiFidelityDeepGP:
     def optimize_nat_adam(self, lr_adam=0.01, lr_gamma=0.01, iterations1=2000,
                           iterations2=5000, iterations3=7500, beta_1=0.9,
                           beta_2=0.999, epsilon=1e-7, messages=500,
-                          q_sqrt_scale=1e-2, train_upto_fidelity=-1):
+                          q_sqrt_scale=1e-2, train_upto_fidelity=-1,
+                          checkpoint_path=None, checkpoint_every=0):
         """3-phase Adam -> +inducing -> Adam+NatGrad (MF_DGP.py:426-519).
 
         :param train_upto_fidelity: restrict the ELBO's data terms to
@@ -492,17 +497,21 @@ class MultiFidelityDeepGP:
         self._init_variational(q_sqrt_scale)
         traces = []
         loss_fn, batch = self._loss_spec(train_upto_fidelity)
+        _ckpt = (training.make_checkpoint_fn(checkpoint_path)
+                 if checkpoint_path else None)
         m1, m2, m3 = self._phase_masks()
         self.params, _ls = training.adam_run(
             loss_fn, self.params, m1, self._next_key(), steps=iterations1,
             lr=lr_adam, b1=beta_1, b2=beta_2, eps=epsilon, messages=messages,
-            data=batch,
+            data=batch, checkpoint_every=checkpoint_every,
+            checkpoint_fn=_ckpt,
         )
         traces.append(_ls)
         self.params, _ls = training.adam_run(
             loss_fn, self.params, m2, self._next_key(), steps=iterations2,
             lr=lr_adam, b1=beta_1, b2=beta_2, eps=epsilon, messages=messages,
-            data=batch,
+            data=batch, checkpoint_every=checkpoint_every,
+            checkpoint_fn=_ckpt,
         )
         traces.append(_ls)
         # phase 3: likelihood variance unfrozen; NatGrad on all layers' q
@@ -513,6 +522,7 @@ class MultiFidelityDeepGP:
             key=self._next_key(), steps=iterations3, lr_adam=lr_adam,
             gamma=lr_gamma, b1=beta_1, b2=beta_2, eps=epsilon,
             messages=messages, data=batch,
+            checkpoint_every=checkpoint_every, checkpoint_fn=_ckpt,
         )
         traces.append(_ls)
         return jnp.concatenate([jnp.ravel(t) for t in traces]) if traces else jnp.zeros((0,))

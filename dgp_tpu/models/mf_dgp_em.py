@@ -555,12 +555,15 @@ class MultiFidelityDeepGP_EM:
     def optimize_nat_adam(self, lr_adam=0.01, lr_gamma=0.01, iterations1=2000,
                           iterations2=5000, iterations3=7500, beta_1=0.9,
                           beta_2=0.999, epsilon=1e-7, messages=500,
-                          train_upto_fidelity=-1):
+                          train_upto_fidelity=-1,
+                          checkpoint_path=None, checkpoint_every=0):
         """3-phase training (MF_DGP_EM.py:501-578): phase 3 runs natural
         gradients over both the fidelity and the reduction layers' q."""
         self._init_variational()
         traces = []
         loss_fn, batch = self._loss_spec(train_upto_fidelity)
+        _ckpt = (training.make_checkpoint_fn(checkpoint_path)
+                 if checkpoint_path else None)
         q = {"q_mu", "q_sqrt"}
         lik = {"likelihood", "likelihood_projection"}
         # phase 1: kernels + reduction inducing only
@@ -579,13 +582,15 @@ class MultiFidelityDeepGP_EM:
         self.params, _ls = training.adam_run(
             loss_fn, self.params, m1, self._next_key(), steps=iterations1,
             lr=lr_adam, b1=beta_1, b2=beta_2, eps=epsilon, messages=messages,
-            data=batch,
+            data=batch, checkpoint_every=checkpoint_every,
+            checkpoint_fn=_ckpt,
         )
         traces.append(_ls)
         self.params, _ls = training.adam_run(
             loss_fn, self.params, m2, self._next_key(), steps=iterations2,
             lr=lr_adam, b1=beta_1, b2=beta_2, eps=epsilon, messages=messages,
-            data=batch,
+            data=batch, checkpoint_every=checkpoint_every,
+            checkpoint_fn=_ckpt,
         )
         traces.append(_ls)
 
@@ -596,18 +601,22 @@ class MultiFidelityDeepGP_EM:
             key=self._next_key(), steps=iterations3, lr_adam=lr_adam,
             gamma=lr_gamma, b1=beta_1, b2=beta_2, eps=epsilon,
             messages=messages, data=batch,
+            checkpoint_every=checkpoint_every, checkpoint_fn=_ckpt,
         )
         traces.append(_ls)
         return jnp.concatenate([jnp.ravel(t) for t in traces]) if traces else jnp.zeros((0,))
 
     def optimize_adam(self, lr=0.01, iterations1=2000, iterations2=5000,
                       iterations3=7500, beta_1=0.9, beta_2=0.999, epsilon=1e-7,
-                      messages=500, train_upto_fidelity=-1):
+                      messages=500, train_upto_fidelity=-1,
+                      checkpoint_path=None, checkpoint_every=0):
         """3-phase plain Adam (MF_DGP_EM.py:429-499): phase 3 unfreezes the
         fidelity q and the model likelihood."""
         self._init_variational(q_scale_fid=1e-2, q_scale_red=1e-2)
         traces = []
         loss_fn, batch = self._loss_spec(train_upto_fidelity)
+        _ckpt = (training.make_checkpoint_fn(checkpoint_path)
+                 if checkpoint_path else None)
         q = {"q_mu", "q_sqrt"}
         lik = {"likelihood", "likelihood_projection"}
         m1 = training.make_mask(
@@ -629,7 +638,8 @@ class MultiFidelityDeepGP_EM:
             self.params, _ls = training.adam_run(
                 loss_fn, self.params, mask, self._next_key(), steps=steps,
                 lr=lr, b1=beta_1, b2=beta_2, eps=epsilon, messages=messages,
-                data=batch,
+                data=batch, checkpoint_every=checkpoint_every,
+                checkpoint_fn=_ckpt,
             )
             traces.append(_ls)
         return jnp.concatenate([jnp.ravel(t) for t in traces]) if traces else jnp.zeros((0,))

@@ -345,7 +345,8 @@ class MultiObjDeepGP:
 
     def optimize_nat_adam(self, lr_adam=0.01, lr_gamma=0.01, iterations1=2000,
                           iterations2=5000, iterations3=7500, messages=500,
-                          q_sqrt_scale=1e-2, train_upto_objective=-1):
+                          q_sqrt_scale=1e-2, train_upto_objective=-1,
+                          checkpoint_path=None, checkpoint_every=0):
         """3-phase training (MO_DGP.py:418-494).
 
         :param train_upto_objective: restrict the ELBO's data terms to
@@ -357,6 +358,8 @@ class MultiObjDeepGP:
         self._init_variational(q_sqrt_scale)
         traces = []
         loss_fn, batch = self._loss_spec(train_upto_objective)
+        _ckpt = (training.make_checkpoint_fn(checkpoint_path)
+                 if checkpoint_path else None)
         q = {"q_mu", "q_sqrt"}
         m1 = training.make_mask(self.params,
                                 frozen_fields={"likelihood", "z", "z_left"},
@@ -367,11 +370,13 @@ class MultiObjDeepGP:
         self.params, _ls = training.adam_run(
             loss_fn, self.params, m1, self._next_key(), steps=iterations1,
             lr=lr_adam, messages=messages, data=batch,
+            checkpoint_every=checkpoint_every, checkpoint_fn=_ckpt,
         )
         traces.append(_ls)
         self.params, _ls = training.adam_run(
             loss_fn, self.params, m2, self._next_key(), steps=iterations2,
             lr=lr_adam, messages=messages, data=batch,
+            checkpoint_every=checkpoint_every, checkpoint_fn=_ckpt,
         )
         traces.append(_ls)
         get_q, set_q = _qs_accessors(tuple(range(len(self.params.layers))))
@@ -380,17 +385,21 @@ class MultiObjDeepGP:
             get_qs=get_q, set_qs=set_q,
             key=self._next_key(), steps=iterations3, lr_adam=lr_adam,
             gamma=lr_gamma, messages=messages, data=batch,
+            checkpoint_every=checkpoint_every, checkpoint_fn=_ckpt,
         )
         traces.append(_ls)
         return jnp.concatenate([jnp.ravel(t) for t in traces]) if traces else jnp.zeros((0,))
 
     def optimize_adam(self, lr=0.01, iterations1=2000, iterations2=5000,
                       iterations3=7500, messages=500, q_sqrt_scale=1e-5,
-                      train_upto_objective=-1):
+                      train_upto_objective=-1,
+                      checkpoint_path=None, checkpoint_every=0):
         """3-phase plain-Adam variant (MO_DGP.py:345-417)."""
         self._init_variational(q_sqrt_scale)
         traces = []
         loss_fn, batch = self._loss_spec(train_upto_objective)
+        _ckpt = (training.make_checkpoint_fn(checkpoint_path)
+                 if checkpoint_path else None)
         q = {"q_mu", "q_sqrt"}
         m1 = training.make_mask(self.params,
                                 frozen_fields={"likelihood", "z", "z_left"},
@@ -403,6 +412,7 @@ class MultiObjDeepGP:
             self.params, _ls = training.adam_run(
                 loss_fn, self.params, mask, self._next_key(), steps=steps,
                 lr=lr, messages=messages, data=batch,
+                checkpoint_every=checkpoint_every, checkpoint_fn=_ckpt,
             )
             traces.append(_ls)
         return jnp.concatenate([jnp.ravel(t) for t in traces]) if traces else jnp.zeros((0,))

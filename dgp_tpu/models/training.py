@@ -169,6 +169,18 @@ def clear_engine_cache() -> None:
     _ENGINE_CACHE.clear()
 
 
+def make_checkpoint_fn(path: str):
+    """Host callback for adam_run/nat_adam_run's ``checkpoint_fn``: saves the
+    current param pytree atomically to ``path`` (utils.checkpoint.save);
+    restore with utils.checkpoint.load(path, like=model.params)."""
+    from ..utils import checkpoint as _ckpt
+
+    def fn(params, steps_done):
+        _ckpt.save(path, params)
+
+    return fn
+
+
 def bucket_rows(n: int, bucket: int) -> int:
     """Round n up to the next multiple of ``bucket``."""
     return -(-n // bucket) * bucket
@@ -192,12 +204,14 @@ def pad_to_bucket(X, Y, bucket: int):
 
 
 def _make_adam_engine(opt, loss_fn, steps, messages, label, metrics_fn, with_data):
-    """Jitted Adam scan; ``with_data`` selects the loss_fn arity
-    ((params, key) legacy vs (params, key, batch) cached-engine)."""
+    """Jitted *stateful* Adam scan: (params, opt_state, key, batch) ->
+    (params, opt_state, key, trace). Threading the optimizer state through
+    lets a long phase run as repeated chunks of one compiled program with
+    host checkpointing between chunks (SURVEY.md §5: the reference's 15k+
+    iteration phases are uninterruptible). ``with_data`` selects the loss_fn
+    arity ((params, key) legacy vs (params, key, batch) cached-engine)."""
 
-    def body(params, key, batch):
-        opt_state = opt.init(params)
-
+    def body(params, opt_state, key, batch):
         def step(carry, i):
             params, opt_state, key = carry
             key, sub = jax.random.split(key)
@@ -220,14 +234,32 @@ def _make_adam_engine(opt, loss_fn, steps, messages, label, metrics_fn, with_dat
                 out.update(metrics_fn(params))
             return (params, opt_state, key), out
 
-        (params, _, _), trace = jax.lax.scan(
+        (params, opt_state, key), trace = jax.lax.scan(
             step, (params, opt_state, key), jnp.arange(steps)
         )
-        return params, trace
+        return params, opt_state, key, trace
 
     if with_data:
         return jax.jit(body)
-    return jax.jit(lambda params, key: body(params, key, None))
+    return jax.jit(lambda params, opt_state, key: body(params, opt_state, key, None))
+
+
+def _concat_traces(traces):
+    if len(traces) == 1:
+        return traces[0]
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *traces
+    )
+
+
+def _chunk_sizes(steps: int, chunk: int):
+    """[chunk, chunk, ..., remainder] covering ``steps``."""
+    if chunk <= 0 or chunk >= steps:
+        return [steps]
+    out = [chunk] * (steps // chunk)
+    if steps % chunk:
+        out.append(steps % chunk)
+    return out
 
 
 def adam_run(
@@ -244,6 +276,8 @@ def adam_run(
     label: str = "ELBO",
     metrics_fn=None,
     data=None,
+    checkpoint_every: int = 0,
+    checkpoint_fn=None,
 ):
     """Run ``steps`` Adam iterations.
 
@@ -251,8 +285,8 @@ def adam_run(
     ``metrics_fn(params) -> dict`` is given; the dict then carries per-step
     arrays for 'loss', 'grad_norm' and every metrics_fn entry (the structured
     replacement for the reference's print-only logging, dgp.py:153-154).
-    One jitted lax.scan — the TPU-native equivalent of the eager loop at
-    dgp.py:147-154.
+    Each chunk is one jitted lax.scan — the TPU-native equivalent of the
+    eager loop at dgp.py:147-154.
 
     Two calling conventions:
     * ``data=None`` (legacy): ``loss_fn(params, key) -> scalar``; a fresh
@@ -261,27 +295,51 @@ def adam_run(
       a traced pytree; the compiled engine is cached on
       (loss_fn, mask, hyperparameters) — loss_fn must be a stable object
       (lru_cache'd factory) for the cache to hit.
+
+    :param checkpoint_every: chunk the phase into scans of this many steps;
+        after each chunk ``checkpoint_fn(params, steps_done)`` runs on the
+        host (optimizer state persists across chunks, so the trajectory is
+        identical to the unchunked run). 0 = one uninterrupted scan.
+    :param checkpoint_fn: host callback, e.g. a utils.checkpoint.save
+        closure; required for checkpointing to do anything, chunking alone
+        only bounds the largest single XLA call.
     """
     if steps <= 0:
         empty = jnp.zeros((0,))
         return params, ({"loss": empty} if metrics_fn else empty)
-    if data is None:
-        opt = masked_adam(mask, lr, b1, b2, eps)
-        run = _make_adam_engine(opt, loss_fn, steps, messages, label,
-                                metrics_fn, with_data=False)
-        params, trace = run(params, key)
-        return params, _surface_nonfinite(trace, label)
 
-    cache_key = ("adam", loss_fn, _mask_signature(mask), steps, lr, b1, b2,
-                 eps, messages, label, metrics_fn)
-    run = _ENGINE_CACHE.get(cache_key)
-    if run is None:
-        opt = masked_adam(mask, lr, b1, b2, eps)
-        run = _make_adam_engine(opt, loss_fn, steps, messages, label,
-                                metrics_fn, with_data=True)
-        _ENGINE_CACHE[cache_key] = run
-    params, trace = run(params, key, data)
-    return params, _surface_nonfinite(trace, label)
+    chunks = _chunk_sizes(steps, checkpoint_every)
+
+    def engine_for(n_steps):
+        if data is None:
+            opt = masked_adam(mask, lr, b1, b2, eps)
+            return opt, _make_adam_engine(opt, loss_fn, n_steps, messages,
+                                          label, metrics_fn, with_data=False)
+        cache_key = ("adam", loss_fn, _mask_signature(mask), n_steps, lr, b1,
+                     b2, eps, messages, label, metrics_fn)
+        entry = _ENGINE_CACHE.get(cache_key)
+        if entry is None:
+            opt = masked_adam(mask, lr, b1, b2, eps)
+            entry = (opt, _make_adam_engine(opt, loss_fn, n_steps, messages,
+                                            label, metrics_fn, with_data=True))
+            _ENGINE_CACHE[cache_key] = entry
+        return entry
+
+    opt0, _ = engine_for(chunks[0])
+    opt_state = opt0.init(params)
+    traces = []
+    done = 0
+    for n_steps in chunks:
+        _, run = engine_for(n_steps)
+        if data is None:
+            params, opt_state, key, trace = run(params, opt_state, key)
+        else:
+            params, opt_state, key, trace = run(params, opt_state, key, data)
+        traces.append(trace)
+        done += n_steps
+        if checkpoint_fn is not None and done < steps:
+            checkpoint_fn(params, done)
+    return params, _surface_nonfinite(_concat_traces(traces), label)
 
 
 def nat_adam_run(
@@ -300,6 +358,8 @@ def nat_adam_run(
     messages: int = 0,
     label: str = "ELBO",
     data=None,
+    checkpoint_every: int = 0,
+    checkpoint_fn=None,
 ):
     """Interleaved Adam + NaturalGradient phase (dgp.py:209-220).
 
@@ -314,14 +374,15 @@ def nat_adam_run(
         ``loss_fn(params, key, data)`` and the engine is cached on
         (loss_fn, get_qs, set_qs, mask, hyperparameters) — all three callables
         must be stable objects for the cache to hit.
+    :param checkpoint_every: chunk the phase into scans of this many steps
+        and run ``checkpoint_fn(params, steps_done)`` between chunks
+        (optimizer state persists; the trajectory matches the unchunked run).
     """
     if steps <= 0:
         return params, jnp.zeros((0,))
 
-    def make_engine(opt, with_data):
-        def body(params, key, batch):
-            opt_state = opt.init(params)
-
+    def make_engine(opt, n_steps, with_data):
+        def body(params, opt_state, key, batch):
             def eval_loss(p, k):
                 return loss_fn(p, k, batch) if with_data else loss_fn(p, k)
 
@@ -345,27 +406,44 @@ def nat_adam_run(
                     )
                 return (params, opt_state, key), loss
 
-            (params, _, _), losses = jax.lax.scan(
-                step, (params, opt_state, key), jnp.arange(steps)
+            (params, opt_state, key), losses = jax.lax.scan(
+                step, (params, opt_state, key), jnp.arange(n_steps)
             )
-            return params, losses
+            return params, opt_state, key, losses
 
         if with_data:
             return jax.jit(body)
-        return jax.jit(lambda params, key: body(params, key, None))
+        return jax.jit(lambda params, opt_state, key: body(params, opt_state,
+                                                           key, None))
 
-    if data is None:
-        opt = masked_adam(euclid_mask, lr_adam, b1, b2, eps)
-        params, losses = make_engine(opt, with_data=False)(params, key)
-        return params, _surface_nonfinite(losses, label)
+    chunks = _chunk_sizes(steps, checkpoint_every)
 
-    cache_key = ("nat_adam", loss_fn, get_qs, set_qs,
-                 _mask_signature(euclid_mask), steps, lr_adam, gamma,
-                 b1, b2, eps, messages, label)
-    run = _ENGINE_CACHE.get(cache_key)
-    if run is None:
-        opt = masked_adam(euclid_mask, lr_adam, b1, b2, eps)
-        run = make_engine(opt, with_data=True)
-        _ENGINE_CACHE[cache_key] = run
-    params, losses = run(params, key, data)
-    return params, _surface_nonfinite(losses, label)
+    def engine_for(n_steps):
+        if data is None:
+            opt = masked_adam(euclid_mask, lr_adam, b1, b2, eps)
+            return opt, make_engine(opt, n_steps, with_data=False)
+        cache_key = ("nat_adam", loss_fn, get_qs, set_qs,
+                     _mask_signature(euclid_mask), n_steps, lr_adam, gamma,
+                     b1, b2, eps, messages, label)
+        entry = _ENGINE_CACHE.get(cache_key)
+        if entry is None:
+            opt = masked_adam(euclid_mask, lr_adam, b1, b2, eps)
+            entry = (opt, make_engine(opt, n_steps, with_data=True))
+            _ENGINE_CACHE[cache_key] = entry
+        return entry
+
+    opt0, _ = engine_for(chunks[0])
+    opt_state = opt0.init(params)
+    traces = []
+    done = 0
+    for n_steps in chunks:
+        _, run = engine_for(n_steps)
+        if data is None:
+            params, opt_state, key, losses = run(params, opt_state, key)
+        else:
+            params, opt_state, key, losses = run(params, opt_state, key, data)
+        traces.append(losses)
+        done += n_steps
+        if checkpoint_fn is not None and done < steps:
+            checkpoint_fn(params, done)
+    return params, _surface_nonfinite(_concat_traces(traces), label)

@@ -70,3 +70,112 @@ def test_training_metrics_trace():
         assert v.shape == (100,)
         assert np.all(np.isfinite(np.asarray(v)))
     assert np.min(np.asarray(trace["loss"])) < np.asarray(trace["loss"])[0]
+
+
+def test_chunked_adam_matches_unchunked_and_checkpoints(tmp_path):
+    """checkpoint_every chunks the scan with persistent opt state + key
+    chain, so the trajectory is bit-identical to the unchunked run and
+    intermediate params are saved to disk (SURVEY.md §5: the reference's
+    15k-step phases were uninterruptible)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dgp_tpu.models import training
+    from dgp_tpu.utils import checkpoint as ckpt
+
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def loss_factory():
+        def loss(params, key, batch):
+            X, Y = batch
+            return jnp.sum((X @ params - Y) ** 2)
+
+        return loss
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(20, 3)))
+    Y = jnp.asarray(rng.normal(size=(20,)))
+    p0 = jnp.zeros(3)
+    mask = True
+    key = jax.random.PRNGKey(0)
+
+    p_plain, l_plain = training.adam_run(
+        loss_factory(), p0, mask, key, steps=20, lr=0.05, data=(X, Y))
+
+    seen = []
+    path = str(tmp_path / "ck.npz")
+
+    def cb(params, done):
+        seen.append(done)
+        ckpt.save(path, params)
+
+    p_chunk, l_chunk = training.adam_run(
+        loss_factory(), p0, mask, key, steps=20, lr=0.05, data=(X, Y),
+        checkpoint_every=7, checkpoint_fn=cb)
+
+    np.testing.assert_array_equal(np.asarray(p_plain), np.asarray(p_chunk))
+    np.testing.assert_array_equal(np.asarray(l_plain), np.asarray(l_chunk))
+    assert seen == [7, 14]  # no checkpoint after the final chunk
+    restored = ckpt.load(path, like=p0)
+    assert restored.shape == p0.shape
+
+
+def test_chunked_nat_adam_matches_unchunked():
+    """Same chunking guarantee for the Adam+NatGrad engine on a real
+    single-layer SVGP (sampling-free ELBO)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dgp_tpu.models import training
+    from dgp_tpu.models.dgp import DGP, _full_batch_loss, _qs_accessors
+    from dgp_tpu.ops import kernels as K
+
+    rng = np.random.default_rng(1)
+    X = rng.uniform(0, 1, size=(16, 1))
+    Y = np.sin(5 * X)
+    make = lambda: DGP(X, Y, X[:5].copy(), [K.RBF.create(lengthscales=[1.0])],
+                       [], num_samples=2)
+    loss_fn = _full_batch_loss(2)
+    get_q, set_q = _qs_accessors((0,))
+    key = jax.random.PRNGKey(3)
+
+    m1 = make()
+    batch = (*m1.data, None, None)
+    mask = training.make_mask(m1.params,
+                              frozen_layer_fields={0: {"q_mu", "q_sqrt"}})
+    pa, la = training.nat_adam_run(loss_fn, m1.params, mask, get_q, set_q,
+                                   key, steps=9, data=batch)
+    m2 = make()
+    pb, lb = training.nat_adam_run(loss_fn, m2.params, mask, get_q, set_q,
+                                   key, steps=9, data=batch,
+                                   checkpoint_every=4)
+    for a, b in zip(jax.tree_util.tree_leaves(pa),
+                    jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_dgp_wrapper_checkpoint_path(tmp_path):
+    import numpy as np
+
+    from dgp_tpu.models.dgp import DGP
+    from dgp_tpu.ops import kernels as K
+    from dgp_tpu.utils import checkpoint as ckpt
+
+    rng = np.random.default_rng(2)
+    X = rng.uniform(0, 1, size=(12, 1))
+    Y = np.sin(4 * X)
+    m = DGP(X, Y, X[:4].copy(), [K.RBF.create(lengthscales=[1.0])], [],
+            num_samples=2)
+    path = str(tmp_path / "dgp.npz")
+    m.optimize_adam(iterations=10, messages=0, checkpoint_path=path,
+                    checkpoint_every=4)
+    restored = ckpt.load(path, like=m.params)
+    assert len(jax.tree_util.tree_leaves(restored)) == \
+        len(jax.tree_util.tree_leaves(m.params))
+
+
+import jax  # noqa: E402  (used by the checkpoint tests above)
