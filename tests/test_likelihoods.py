@@ -80,3 +80,53 @@ def test_dgp_with_bernoulli_likelihood_trains():
     probs = np.asarray(pm).mean(axis=0)
     acc = np.mean((probs > 0.5) == (Y > 0.5))
     assert acc > 0.9, acc
+
+
+def test_bernoulli_dgp_classification_end_to_end():
+    """The quadrature Bernoulli head is load-bearing: a 2-layer DGP binary
+    classifier trains through the standard APIs and beats chance soundly
+    (examples/classification.py is the runnable version)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from examples.classification import main
+
+    acc, mean_logd = main(iterations=1500, seed=0)
+    assert acc > 0.88  # measured 0.95 at this deterministic seed
+    assert mean_logd > np.log(0.5)  # better than a coin-flip density
+
+
+def test_student_t_dgp_robust_regression_end_to_end():
+    """StudentT head through DGP.from_layers: on data with 10% gross
+    outliers the heavy-tailed likelihood must fit the inlier trend better
+    than a Gaussian head with the same architecture and schedule (measured
+    inlier RMSE 0.350 vs 0.446 at this deterministic seed)."""
+    from dgp_tpu.layers.initializations import init_layers_linear
+    from dgp_tpu.models.dgp import DGP
+    from dgp_tpu.ops import kernels as K
+    from dgp_tpu.ops.likelihoods import Gaussian, StudentT
+
+    rng = np.random.default_rng(1)
+    X = rng.uniform(0, 1, size=(60, 1))
+    Y = np.sin(4 * X) + 0.05 * rng.normal(size=X.shape)
+    Y[::10] += rng.choice([-3.0, 3.0], size=Y[::10].shape)  # outliers
+    inliers = np.ones(len(X), dtype=bool)
+    inliers[::10] = False
+
+    def fit(lik):
+        layers = init_layers_linear(X, Y, X[::3].copy(),
+                                    [K.RBF.create(lengthscales=[0.3]),
+                                     K.RBF.create(lengthscales=[0.3])], [1])
+        m = DGP.from_layers(X, Y, layers, likelihood=lik, num_samples=4,
+                            seed=0)
+        m.optimize_nat_adam(iterations1=300, iterations2=700, lr_adam=0.02,
+                            lr_gamma=0.05, ng_all=False, messages=0)
+        mean, _ = m.predict(X, 100)
+        return float(np.sqrt(np.mean(
+            (mean[inliers] - np.asarray(Y)[inliers]) ** 2)))
+
+    rmse_t = fit(StudentT.create(scale=0.1))
+    rmse_g = fit(Gaussian.create(0.1))
+    assert rmse_t < rmse_g, (rmse_t, rmse_g)
+    assert rmse_t < 0.42, rmse_t
