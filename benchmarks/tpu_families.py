@@ -1,0 +1,203 @@
+"""Real-chip f32 training evidence for the MF-DGP / MF-DGP-EM / MO-DGP
+families (the round-1 TPU evidence covered only plain DGP + BO latency).
+
+Runs each family's notebook configuration in float32 on the attached
+accelerator with its published (or mildly shortened, flagged) schedule and
+records wall time, loss-trace endpoints and fit metrics. Prints one JSON line
+per family and writes benchmarks/tpu_families_results.json.
+
+Usage: python benchmarks/tpu_families.py [--fast] [--family mf|em|mo]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _enable_cache():
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+
+_enable_cache()
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "tpu_families_results.json")
+
+
+def _trace_stats(losses):
+    arr = np.asarray(losses, dtype=float)
+    return {
+        "elbo_start": round(-float(arr[0]), 3),
+        "elbo_end": round(-float(arr[-1]), 3),
+        "nonfinite_steps": int((~np.isfinite(arr)).sum()),
+    }
+
+
+def run_dgp(fast):
+    """nb_DGP_regression config, f32 whitened (the round-1 real-chip
+    evidence: ELBO -406 -> +99.5, train RMSE 0.0088); re-run each round as
+    the quality gate for TPU-precision changes."""
+    from dgp_tpu.models.dgp import DGP
+    from dgp_tpu.ops import kernels as K
+
+    np.random.seed(0)
+    X = np.random.uniform(0, 1, 50)[:, None]
+    Z = np.random.uniform(0, 1, 25)[:, None]
+    Y = (X >= 0.5).astype(float) + np.random.randn(50, 1) * 1e-2
+    kernels = [K.RBF.create(lengthscales=[1.0]) for _ in range(3)]
+    model = DGP(X, Y, Z, kernels, num_units=[1, 1], num_samples=10,
+                white=True)
+    t0 = time.perf_counter()
+    if fast:
+        losses = model.optimize_nat_adam(iterations1=100, iterations2=1000,
+                                         ng_all=False, messages=0)
+    else:
+        losses = model.optimize_nat_adam(iterations1=500, iterations2=5000,
+                                         ng_all=False, messages=0)
+    wall = time.perf_counter() - t0
+    mean, _ = model.predict(X, num_samples=100)
+    rmse = float(np.sqrt(np.mean((np.asarray(mean) - Y) ** 2)))
+    return {"family": "DGP (step fn, N=50, M=25, [1,1,1], whitened f32)",
+            "wall_s": round(wall, 1),
+            "schedule": "100/1000" if fast else "500/5000",
+            **_trace_stats(losses), "train_rmse": round(rmse, 4),
+            "published": "f64 final ELBO 104-108; round-1 f32: -406 -> +99.5,"
+                         " rmse 0.0088"}
+
+
+def run_mf(fast):
+    from dgp_tpu.bo.doe import lhs
+    from dgp_tpu.models.mf_dgp import MultiFidelityDeepGP
+    from dgp_tpu.utils.test_functions import (
+        calculate_metrics, park_high, park_low,
+    )
+
+    X = [lhs(4, 30, seed=123), lhs(4, 5, seed=124)]
+    Y = [park_low(X[0]), park_high(X[1])]
+    x_test = lhs(4, 1000, seed=125)
+    y_test = park_high(x_test)
+    model = MultiFidelityDeepGP(X, Y, num_samples=10)
+    t0 = time.perf_counter()
+    if fast:
+        losses = model.optimize_nat_adam(
+            lr_adam=0.005, iterations1=300, iterations2=400, iterations3=800,
+            messages=0)
+    else:
+        losses = model.optimize_nat_adam(
+            lr_adam=0.001, iterations1=1000, iterations2=2000,
+            iterations3=6000, messages=0)
+    wall = time.perf_counter() - t0
+    mean, var = model.predict(x_test)
+    m = calculate_metrics(y_test, mean, var)
+    return {"family": "MF-DGP (park, N=[30,5])", "wall_s": round(wall, 1),
+            "schedule": "300/400/800" if fast else "1000/2000/6000",
+            **_trace_stats(losses),
+            "r2": round(float(m["r2"]), 4), "rmse": round(float(m["rmse"]), 4),
+            "mnll": round(float(m["mnll"]), 4),
+            "published_r2_rmse_mnll": "0.98467/0.59607/1.06168 (f64 CPU)"}
+
+
+def run_em(fast):
+    from dgp_tpu.bo.doe import lhs
+    from dgp_tpu.models.mf_dgp_em import MultiFidelityDeepGP_EM
+    from dgp_tpu.utils.test_functions import (
+        calculate_metrics, park_vd_high, park_vd_low,
+    )
+
+    X = [lhs(2, 30, seed=123), lhs(4, 6, seed=0)]
+    Y = [park_vd_low(X[0]), park_vd_high(X[1])]
+    X_red = [X[1][:, :2]]
+    x_test = lhs(4, 1000, seed=321)
+    y_test = park_vd_high(x_test)
+    model = MultiFidelityDeepGP_EM(X, Y, X_red, num_samples=100)
+    t0 = time.perf_counter()
+    if fast:
+        losses = model.optimize_nat_adam(iterations1=0, iterations2=400,
+                                         iterations3=800, messages=0)
+    else:
+        losses = model.optimize_nat_adam(iterations1=0, iterations2=3000,
+                                         iterations3=15000, messages=0)
+    wall = time.perf_counter() - t0
+    mean, var = model.predict(x_test)
+    m = calculate_metrics(y_test, mean, var)
+    return {"family": "MF-DGP-EM (Park_VD 2D/4D)", "wall_s": round(wall, 1),
+            "schedule": "0/400/800" if fast else "0/3000/15000",
+            **_trace_stats(losses),
+            "r2": round(float(m["r2"]), 4), "rmse": round(float(m["rmse"]), 4),
+            "mnll": round(float(m["mnll"]), 4),
+            "published_r2_rmse_mnll": "0.89265/1.49782/2.07844 (f64 CPU)"}
+
+
+def run_mo(fast):
+    from dgp_tpu.bo.doe import lhs
+    from dgp_tpu.bo.problems import multi_obj_1D_4
+    from dgp_tpu.models.dgp import moment_matched
+    from dgp_tpu.models.mo_dgp import MultiObjDeepGP
+
+    problem = multi_obj_1D_4()
+    n = 10 * problem.dim
+    X_ = lhs(problem.dim, n, seed=0)
+    F = np.asarray([problem.fun(x) for x in X_], dtype=float).reshape(n, 2)
+    X = (X_ - X_.mean(0)) / X_.std(0)
+    Y0 = (F[:, :1] - F[:, :1].mean(0)) / F[:, :1].std(0)
+    Y1 = (F[:, 1:2] - F[:, 1:2].mean(0)) / F[:, 1:2].std(0)
+    model = MultiObjDeepGP([X, X.copy()], [Y0, Y1], loop=2, num_samples=10)
+    t0 = time.perf_counter()
+    if fast:
+        losses = model.optimize_nat_adam(iterations1=200, iterations2=0,
+                                         iterations3=0, messages=0)
+    else:
+        losses = model.optimize_nat_adam(iterations1=200, iterations2=300,
+                                         iterations3=800, messages=0)
+    wall = time.perf_counter() - t0
+    r2s = {}
+    for obj, Yt in ((0, Y0), (1, Y1)):
+        Fm, Fv = model.predict_f(X, S=200, objective=obj)
+        m, _ = moment_matched(Fm, Fv)
+        m = np.asarray(m)
+        r2s[f"train_r2_obj{obj}"] = round(
+            1 - float(np.sum((m - Yt) ** 2) / np.sum((Yt - Yt.mean()) ** 2)), 4)
+    return {"family": "MO-DGP (multi_obj_1D_4, n=10)", "wall_s": round(wall, 1),
+            "schedule": "200/0/0" if fast else "200/300/800",
+            **_trace_stats(losses), **r2s,
+            "published": "initial ELBO ~-1.7e8 at the notebook seed (f64 CPU)"}
+
+
+def main():
+    fast = "--fast" in sys.argv
+    fam = None
+    if "--family" in sys.argv:
+        fam = sys.argv[sys.argv.index("--family") + 1]
+    runners = {"dgp": run_dgp, "mf": run_mf, "em": run_em, "mo": run_mo}
+    results = []
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            results = json.load(f)
+    for name, fn in runners.items():
+        if fam and name != fam:
+            continue
+        out = fn(fast)
+        out["fast"] = fast
+        print(json.dumps(out), flush=True)
+        results = [r for r in results
+                   if not (r["family"] == out["family"]
+                           and r.get("fast") == fast)]
+        results.append(out)
+        with open(RESULTS, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,8 @@ _STATE = {
     "float": None,       # None => infer from x64 mode
     "jitter": None,      # None => infer from default_float
     "use_pallas": "auto",  # "auto" | True | False
+    "quad_precision": "auto",  # forward precision of the t2 quadform matmul
+    "bwd_precision": "auto",   # cotangent precision of the hot matmuls
 }
 
 
@@ -52,6 +54,39 @@ def default_jitter() -> float:
 def set_use_pallas(value) -> None:
     """True/False to force, or "auto" to enable on TPU only."""
     _STATE["use_pallas"] = value
+
+
+def set_quad_precision(value) -> None:
+    """"highest" | "high" | "auto" — forward MXU precision of the
+    (cancellation-free) variational quadform matmul in the conditional."""
+    _STATE["quad_precision"] = value
+
+
+def set_bwd_precision(value) -> None:
+    """"highest" | "high" | "auto" — MXU precision of the backward cotangent
+    matmuls of the conditional's two dominant contractions."""
+    _STATE["bwd_precision"] = value
+
+
+def _resolve_auto_precision(value):
+    import jax as _jax
+
+    from .ops.precision import resolve_precision
+
+    if value == "auto":
+        # f64 (CPU parity mode) computes natively; on f32 accelerators the
+        # 3-pass bf16 path is accurate where these knobs apply (see
+        # ops/precision.py) and halves the dominant MXU pass counts.
+        value = "highest" if default_float() == jnp.dtype("float64") else "high"
+    return resolve_precision(value)
+
+
+def quad_precision():
+    return _resolve_auto_precision(_STATE["quad_precision"])
+
+
+def bwd_precision():
+    return _resolve_auto_precision(_STATE["bwd_precision"])
 
 
 def use_pallas() -> bool:

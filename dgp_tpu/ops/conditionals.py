@@ -23,8 +23,9 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
-from ..config import default_jitter
+from ..config import bwd_precision, default_jitter, quad_precision
 from .linalg import tri_solve
+from .precision import mm
 
 
 class SVGPProjection(NamedTuple):
@@ -111,10 +112,13 @@ def conditional_diag(kernel, Z, q_mu, q_sqrt, X, *, white: bool, jitter=None,
         var = jnp.maximum(sigma2f + quad, 0.0)
         return mean, var
     hi = jax.lax.Precision.HIGHEST
+    bwd = bwd_precision()
     Kuf = kernel.K(Z, X)                       # [M, n]
     # A = Lu^{-1} Kuf (white) or Kuu^{-1} Kuf: MXU matmul against the
-    # precomputed projector instead of a wide triangular solve.
-    A = jnp.matmul(proj.Pinv, Kuf, precision=hi)
+    # precomputed projector instead of a wide triangular solve. Forward must
+    # be HIGHEST (||A||^2 cancels against Kff below); the cotangent matmuls
+    # only feed optimizer steps and run at the configured bwd precision.
+    A = mm(proj.Pinv, Kuf, hi, bwd)
     mean = jnp.matmul(A.T, q_mu, precision=hi)  # [n, D]
     # variance as two PSD quadforms (prior-reduction + variational), each a
     # cancellation-free sum of products, instead of the indefinite
@@ -126,7 +130,10 @@ def conditional_diag(kernel, Z, q_mu, q_sqrt, X, *, white: bool, jitter=None,
     else:
         t1 = jnp.sum(Kuf * A, axis=0)          # kuf^T Kuu^{-1} kuf
     Sq = jnp.swapaxes(jnp.tril(q_sqrt), -1, -2)  # [D, M, M]
-    B = jnp.matmul(Sq, A[None], precision=hi)  # [D, M, n] batched MXU
+    # t2 is a positive sum of squares (no cancellation): its forward matmul
+    # runs at the configured quadform precision — the FLOP-dominant
+    # contraction of the whole model (D outputs x M^2 x S*N).
+    B = mm(Sq, A[None], quad_precision(), bwd)  # [D, M, n] batched MXU
     t2 = jnp.sum(B * B, axis=1)                # [D, n]
     Kff = kernel.K_diag(X)                     # [n]
     # clamp: var >= 0 mathematically (Schur complement); f32 rounding in the
