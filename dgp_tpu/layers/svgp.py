@@ -26,6 +26,7 @@ from ..ops.conditionals import (
     conditional_diag,
     conditional_full,
     precompute_projection,
+    precompute_projections,
     reparameterize,
 )
 from ..ops.means import MeanFunction, Zero
@@ -98,7 +99,17 @@ def make_svgp_layer(
 
 # -- pure layer math ----------------------------------------------------------
 
-def conditional_snd(layer: SVGPLayer, Z, X, full_cov=False):
+def stack_projections(layers, Zs):
+    """Projections for a whole layer stack in one batched precompute
+    (ops/conditionals.precompute_projections): the per-layer Cholesky/solve
+    batch across layers sharing M instead of running sequentially."""
+    return precompute_projections([
+        (layer.kernel, Z, layer.q_sqrt, layer.white)
+        for layer, Z in zip(layers, Zs)
+    ])
+
+
+def conditional_snd(layer: SVGPLayer, Z, X, full_cov=False, proj=None):
     """Multisample conditional over X [S, N, Din]
     (utils/layers.py:63-85): diag path folds S into the point axis for one
     big Kuf matmul; full-cov path vmaps over S with the Kuu work hoisted.
@@ -106,7 +117,8 @@ def conditional_snd(layer: SVGPLayer, Z, X, full_cov=False):
     :return: mean [S, N, D], var [S, N, D] or [S, N, N, D]
     """
     S, N, Din = X.shape
-    proj = precompute_projection(layer.kernel, Z, layer.q_sqrt, layer.white)
+    if proj is None:
+        proj = precompute_projection(layer.kernel, Z, layer.q_sqrt, layer.white)
     if full_cov:
         def one(x):
             return conditional_full(
@@ -126,14 +138,16 @@ def conditional_snd(layer: SVGPLayer, Z, X, full_cov=False):
     return mean.reshape(S, N, D), var.reshape(S, N, D)
 
 
-def sample_from_conditional(layer: SVGPLayer, Z, X, key, full_cov=False, z=None):
+def sample_from_conditional(layer: SVGPLayer, Z, X, key, full_cov=False,
+                            z=None, proj=None):
     """Conditional + reparameterized sample + input propagation
     (utils/layers.py:87-130).
 
     :param X: [S, N, Din]; :param z: optional fixed unit normals.
+    :param proj: optional precomputed SVGPProjection (stack_projections).
     :return: samples [S, N, D_tot], mean [S, N, D_tot], var
     """
-    mean, var = conditional_snd(layer, Z, X, full_cov=full_cov)
+    mean, var = conditional_snd(layer, Z, X, full_cov=full_cov, proj=proj)
     if z is None:
         z = jax.random.normal(key, mean.shape, dtype=mean.dtype)
     samples = reparameterize(mean, var, z, full_cov=full_cov)

@@ -21,7 +21,12 @@ from flax import struct
 
 from ..config import default_float
 from ..layers.initializations import init_layers_linear
-from ..layers.svgp import SVGPLayer, layer_kl, sample_from_conditional
+from ..layers.svgp import (
+    SVGPLayer,
+    layer_kl,
+    sample_from_conditional,
+    stack_projections,
+)
 from ..ops.likelihoods import Gaussian
 from . import training
 from ._jit import maybe_jit
@@ -44,10 +49,11 @@ def propagate(params: DGPParams, X, key, S: int, full_cov=False, zs=None):
     F = sX
     Fs, Fmeans, Fvars = [], [], []
     zs = zs if zs is not None else [None] * len(params.layers)
-    for layer, z in zip(params.layers, zs):
+    projs = stack_projections(params.layers, [l.z for l in params.layers])
+    for layer, z, proj in zip(params.layers, zs, projs):
         key, sub = jax.random.split(key)
         F, Fmean, Fvar = sample_from_conditional(
-            layer, layer.z, F, sub, full_cov=full_cov, z=z
+            layer, layer.z, F, sub, full_cov=full_cov, z=z, proj=proj
         )
         Fs.append(F)
         Fmeans.append(Fmean)

@@ -42,20 +42,68 @@ def precompute_projection(kernel, Z, q_sqrt, white: bool, jitter=None) -> SVGPPr
     M = Z.shape[0]
     Kuu = kernel.K(Z) + jitter * jnp.eye(M, dtype=Z.dtype)
     Lu = jnp.linalg.cholesky(Kuu)
-    q_sqrt = jnp.tril(q_sqrt)
-    S = jnp.matmul(q_sqrt, jnp.swapaxes(q_sqrt, -1, -2),
-                   precision=jax.lax.Precision.HIGHEST)  # [D, M, M]
     eye = jnp.eye(M, dtype=Kuu.dtype)
     if white:
-        SK = S - eye[None]
         # A = Lu^{-1} Kuf computed as (one tiny M x M solve) @ Kuf: XLA's
         # triangular_solve against a wide [M, S*N] RHS is far off the MXU
         # roofline on TPU, an inverse-multiply is a single big matmul.
         Pinv = jsl.solve_triangular(Lu, eye, lower=True)
     else:
-        SK = S - Kuu[None]
         Pinv = jsl.cho_solve((Lu, True), eye)  # Kuu^{-1}
-    return SVGPProjection(Lu=Lu, Kuu=Kuu, SK=SK, Pinv=Pinv)
+    return SVGPProjection(Lu=Lu, Kuu=Kuu, SK=_make_sk(q_sqrt, Kuu, white),
+                          Pinv=Pinv)
+
+
+def _make_sk(q_sqrt, Kuu, white):
+    M = Kuu.shape[-1]
+    q = jnp.tril(q_sqrt)
+    S = jnp.matmul(q, jnp.swapaxes(q, -1, -2),
+                   precision=jax.lax.Precision.HIGHEST)  # [D, M, M]
+    eye = jnp.eye(M, dtype=Kuu.dtype)
+    return S - (eye[None] if white else Kuu[None])
+
+
+def precompute_projections(items, jitter=None):
+    """Batched :func:`precompute_projection` over a layer stack.
+
+    :param items: list of (kernel, Z, q_sqrt, white).
+    :return: list of :class:`SVGPProjection`, one per item.
+
+    The per-layer M x M Cholesky + projector solve are the *sequential* ops
+    of the training step (a TPU core executes one stream — L independent
+    128 x 128 factorizations run back-to-back unless batched). Layers
+    sharing (M, white) are stacked into one [G, M, M] batched
+    cholesky/solve, which the blocked XLA implementations amortize across
+    the batch; measured ~+8% end-to-end on bench.py for L=2 at M=128.
+    """
+    jitter = default_jitter() if jitter is None else jitter
+    Kuus = []
+    for kernel, Z, q_sqrt, white in items:
+        M = Z.shape[0]
+        Kuus.append(kernel.K(Z) + jitter * jnp.eye(M, dtype=Z.dtype))
+    groups: dict = {}
+    for i, (kernel, Z, q_sqrt, white) in enumerate(items):
+        groups.setdefault((Z.shape[0], bool(white)), []).append(i)
+    Lus = [None] * len(items)
+    Pinvs = [None] * len(items)
+    for (M, white), idxs in groups.items():
+        Kstack = (jnp.stack([Kuus[i] for i in idxs])
+                  if len(idxs) > 1 else Kuus[idxs[0]][None])
+        Ls = jnp.linalg.cholesky(Kstack)
+        eye = jnp.eye(M, dtype=Kstack.dtype)
+        if white:
+            Ps = jsl.solve_triangular(
+                Ls, jnp.broadcast_to(eye, Kstack.shape), lower=True)
+        else:
+            Ps = jax.vmap(lambda l: jsl.cho_solve((l, True), eye))(Ls)
+        for j, i in enumerate(idxs):
+            Lus[i] = Ls[j]
+            Pinvs[i] = Ps[j]
+    return [
+        SVGPProjection(Lu=Lus[i], Kuu=Kuus[i],
+                       SK=_make_sk(q_sqrt, Kuus[i], white), Pinv=Pinvs[i])
+        for i, (kernel, Z, q_sqrt, white) in enumerate(items)
+    ]
 
 
 def _pallas_applicable(kernel) -> bool:
