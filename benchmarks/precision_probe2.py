@@ -3,8 +3,8 @@ quad/bwd=HIGH win of precision_probe.py): where do the remaining ~50% of the
 step go? Ablations + chained micro-kernels, all at quad=bwd=HIGH.
 
 Variants: full step (reference point), step with fixed unit normals (no RNG),
-step without KL, rbg-PRNG step, pallas-forward step; micro: per-layer
-Cholesky+solve chain, threefry vs rbg normal draws.
+step without KL, rbg-PRNG step; micro: per-layer Cholesky+solve chain,
+threefry vs rbg normal draws.
 """
 
 from __future__ import annotations
@@ -143,14 +143,8 @@ def main():
 
     results["step_rbg"] = _timeit(run_rbg)
 
-    # 5. pallas forward step (current fused kernel; bwd = jnp ref via vjp)
-    config.set_use_pallas(True)
-    try:
-        results["step_pallas_fwd"] = _timeit(step_factory(
-            lambda p, k: -elbo(p, Xj, Yj, k, S)))
-    except Exception as e:  # pragma: no cover
-        results["step_pallas_fwd"] = f"failed: {e}"
-    config.set_use_pallas("auto")
+    # (a 5th variant measured the since-deleted pallas forward kernel:
+    #  103.51 steps/s vs 181.28 for the XLA path — recorded 2026-08-16)
 
     # micro: 2x (cholesky(M) + triangular solve for Pinv) chained
     Kuu0 = np.asarray(model.params.layers[0].kernel.K(

@@ -1,19 +1,22 @@
-"""dgp_tpu — a TPU-native JAX/Pallas rebuild of dgp-toolbox (Hebbalali).
+"""dgp_tpu — a TPU-native JAX/XLA rebuild of dgp-toolbox (Hebbalali).
 
 Deep Gaussian processes (DGP, MF-DGP, MF-DGP-EM, MO-DGP) and Bayesian
 optimization (SO_BO, EI/WB2/WB2S/EV/PoF, EHVI) re-designed for TPU:
 functional pytree models, jitted lax.scan training loops, natural gradients
-as pure functions, shard_map data parallelism over device meshes, and Pallas
-kernels on the hot SVGP-conditional path.
+as pure functions, shard_map data parallelism over device meshes, and
+MXU-precision-controlled contractions on the hot SVGP-conditional path.
 """
 
 from . import config
 from .config import (
+    bwd_precision,
     default_float,
     default_jitter,
+    quad_precision,
+    set_bwd_precision,
     set_default_float,
     set_default_jitter,
-    set_use_pallas,
+    set_quad_precision,
 )
 
 __version__ = "0.1.0"

@@ -21,7 +21,6 @@ import jax.numpy as jnp
 _STATE = {
     "float": None,       # None => infer from x64 mode
     "jitter": None,      # None => infer from default_float
-    "use_pallas": "auto",  # "auto" | True | False
     "quad_precision": "auto",  # forward precision of the t2 quadform matmul
     "bwd_precision": "auto",   # cotangent precision of the hot matmuls
 }
@@ -49,11 +48,6 @@ def default_jitter() -> float:
     if _STATE["jitter"] is not None:
         return _STATE["jitter"]
     return 1e-6 if default_float() == jnp.dtype("float64") else 1e-4
-
-
-def set_use_pallas(value) -> None:
-    """True/False to force, or "auto" to enable on TPU only."""
-    _STATE["use_pallas"] = value
 
 
 def set_quad_precision(value) -> None:
@@ -89,12 +83,10 @@ def bwd_precision():
     return _resolve_auto_precision(_STATE["bwd_precision"])
 
 
-def use_pallas() -> bool:
-    v = _STATE["use_pallas"]
-    if v == "auto":
-        # conservative default: the fused kernel is opt-in
-        # (set_use_pallas(True)) until its compile cost on the attached
-        # runtime is known to be acceptable; the solve path is already
-        # MXU-dominated.
-        return False
-    return bool(v)
+# NOTE (round 2): a hand-written Pallas kernel for the fused RBF conditional
+# was built, measured on v5e, and deleted. Forward-only it tied XLA (the op
+# is pure MXU matmul work XLA schedules optimally); in training it measured
+# 103.5 vs 181.3 steps/s on bench.py (its VJP re-evaluated the reference
+# forward). The real TPU levers were MXU *pass-count* control (the precision
+# knobs above) and batching the sequential per-layer Cholesky/solves — both
+# pure XLA. See README "Performance" and benchmarks/precision_probe*.py.

@@ -24,7 +24,6 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
 from ..config import bwd_precision, default_jitter, quad_precision
-from .linalg import tri_solve
 from .precision import mm
 
 
@@ -106,17 +105,6 @@ def precompute_projections(items, jitter=None):
     ]
 
 
-def _pallas_applicable(kernel) -> bool:
-    from ..config import use_pallas
-    from .kernels import RBF
-
-    return (
-        use_pallas()
-        and isinstance(kernel, RBF)
-        and kernel.active_dims is None
-    )
-
-
 def conditional_diag(kernel, Z, q_mu, q_sqrt, X, *, white: bool, jitter=None,
                      proj: SVGPProjection | None = None):
     """Marginal posterior q(f(X)) per point.
@@ -129,36 +117,6 @@ def conditional_diag(kernel, Z, q_mu, q_sqrt, X, *, white: bool, jitter=None,
     """
     if proj is None:
         proj = precompute_projection(kernel, Z, q_sqrt, white, jitter)
-
-    if _pallas_applicable(kernel):
-        from .pallas.rbf_conditional import rbf_conditional_diag
-
-        ls = kernel.lengthscales
-        sigma2f = kernel.variance
-        Xs = kernel._slice(X) / ls
-        Zs = kernel._slice(Z) / ls
-        if white:
-            # mean = Kuf^T Lu^{-T} q_mu ; E = Lu^{-T} (S - I) Lu^{-1}
-            alpha = tri_solve(proj.Lu.T, q_mu, lower=False)
-            W = tri_solve(
-                jnp.broadcast_to(proj.Lu.T, proj.SK.shape), proj.SK,
-                lower=False,
-            )
-            E = jnp.swapaxes(
-                tri_solve(jnp.broadcast_to(proj.Lu.T, proj.SK.shape),
-                          jnp.swapaxes(W, -1, -2), lower=False),
-                -1, -2,
-            )
-        else:
-            # mean = Kuf^T Kuu^{-1} q_mu ; E = Kuu^{-1} (S - Kuu) Kuu^{-1}
-            from .linalg import cho_solve
-
-            alpha = cho_solve(proj.Lu, q_mu)
-            W = jax.vmap(lambda s: cho_solve(proj.Lu, s))(proj.SK)
-            E = jax.vmap(lambda w: cho_solve(proj.Lu, w.T))(W)
-        mean, quad = rbf_conditional_diag(Xs, Zs, alpha, E, sigma2f)
-        var = jnp.maximum(sigma2f + quad, 0.0)
-        return mean, var
     hi = jax.lax.Precision.HIGHEST
     bwd = bwd_precision()
     Kuf = kernel.K(Z, X)                       # [M, n]

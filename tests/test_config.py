@@ -28,11 +28,25 @@ def test_jitter_override():
         config._STATE["jitter"] = None
 
 
-def test_use_pallas_modes():
-    assert config.use_pallas() is False  # auto = off (conservative)
-    config.set_use_pallas(True)
-    assert config.use_pallas() is True
-    config.set_use_pallas("auto")
+def test_precision_knobs():
+    # conftest enables x64 -> auto resolves to HIGHEST (native f64 CPU math)
+    assert config.quad_precision() == jax.lax.Precision.HIGHEST
+    assert config.bwd_precision() == jax.lax.Precision.HIGHEST
+    config.set_quad_precision("high")
+    config.set_bwd_precision("high")
+    try:
+        assert config.quad_precision() == jax.lax.Precision.HIGH
+        assert config.bwd_precision() == jax.lax.Precision.HIGH
+    finally:
+        config.set_quad_precision("auto")
+        config.set_bwd_precision("auto")
+    # on an f32 working dtype, auto resolves to the 3-pass path
+    config.set_default_float("float32")
+    try:
+        assert config.quad_precision() == jax.lax.Precision.HIGH
+    finally:
+        config._STATE["float"] = None
+        jax.config.update("jax_enable_x64", True)
 
 
 def test_pad_to_multiple():
