@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--bucket", type=int, default=None)
+    # default: use SO_BO's own default (n_bucket=8); --bucket 0 disables
+    ap.add_argument("--bucket", type=int, default=-1)
     ap.add_argument("--infills", type=int, default=6)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--train-iterations", type=int, default=200)
@@ -50,8 +51,9 @@ def main():
     gspec = {"num_layers": 0, "kernels": "rbf"}
     dspec = {"num_layers": 1, "num_units": [1], "kernels": "rbf",
              "num_samples": 3}
+    kw = {} if args.bucket < 0 else {"n_bucket": args.bucket or None}
     bo = SO_BO(problem=Problem(), DoE_size=5, model_Y_dic=gspec,
-               model_C_dic=dspec, seed=0, n_bucket=args.bucket)
+               model_C_dic=dspec, seed=0, **kw)
 
     times = []
     for j in range(args.infills):
@@ -66,7 +68,7 @@ def main():
               flush=True)
 
     warm = times[1:] or times
-    print(f"bucket={args.bucket}  first={times[0]:.2f}s  "
+    print(f"bucket={bo.n_bucket}  first={times[0]:.2f}s  "
           f"warm median={sorted(warm)[len(warm)//2]:.2f}s  "
           f"platform={jax.devices()[0].platform}")
 
