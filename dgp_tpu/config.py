@@ -62,25 +62,30 @@ def set_bwd_precision(value) -> None:
     _STATE["bwd_precision"] = value
 
 
-def _resolve_auto_precision(value):
-    import jax as _jax
-
+def _resolve_auto_precision(value, f32_value):
     from .ops.precision import resolve_precision
 
     if value == "auto":
-        # f64 (CPU parity mode) computes natively; on f32 accelerators the
-        # 3-pass bf16 path is accurate where these knobs apply (see
-        # ops/precision.py) and halves the dominant MXU pass counts.
-        value = "highest" if default_float() == jnp.dtype("float64") else "high"
+        # f64 (CPU parity mode) computes natively and the flags are moot; on
+        # f32 accelerators each knob defaults to the cheapest pass count that
+        # is accurate where it applies (see ops/precision.py).
+        value = ("highest" if default_float() == jnp.dtype("float64")
+                 else f32_value)
     return resolve_precision(value)
 
 
 def quad_precision():
-    return _resolve_auto_precision(_STATE["quad_precision"])
+    # 3-pass: the quadform forward enters the posterior variance users see.
+    # (1-pass measures speed-neutral once the cotangents are 1-pass: the
+    # quadform fwd shares its pass count with the A-projection it consumes.)
+    return _resolve_auto_precision(_STATE["quad_precision"], "high")
 
 
 def bwd_precision():
-    return _resolve_auto_precision(_STATE["bwd_precision"])
+    # 1-pass: cotangent matmuls only feed optimizer steps; measured relative
+    # gradient drift ~1e-5, three orders below the S=10 MC gradient noise,
+    # for +14% end-to-end on bench.py (194.5 -> 222.6 steps/s on v5e).
+    return _resolve_auto_precision(_STATE["bwd_precision"], "default")
 
 
 # NOTE (round 2): a hand-written Pallas kernel for the fused RBF conditional

@@ -12,13 +12,18 @@ posterior variance (relative error there is amplified by ~Kff/var, up to
   *positive* sum of squares — a relative error of eps in B perturbs the
   variance by ~2*eps of the (added, nonnegative) t2 term only;
 * every backward-pass cotangent matmul feeds Adam/NatGrad steps, which are
-  robust to relative gradient noise far above 3-pass accuracy (~1e-6).
+  robust to relative gradient noise far above even 1-pass accuracy: the
+  S=10 Monte-Carlo gradient noise is ~1e-1 relative, the measured 1-pass
+  cotangent drift 5.9e-6.
 
-These two knobs (``quad_precision``, ``bwd_precision``) default to HIGH on
-f32 accelerators and HIGHEST under x64 (where the CPU backend computes in
-native f64 and the flags are moot), cutting the per-step MXU pass count of
-the dominant matmuls roughly in half. Measured on a v5e chip with bench.py
-(2-layer DGP, N=10k, M=128, S=10) — see README perf notes.
+On f32 accelerators ``quad_precision`` therefore defaults to HIGH (3-pass
+forward; users see the variance) and ``bwd_precision`` to DEFAULT (1-pass
+cotangents); under x64 both are HIGHEST (the CPU backend computes native
+f64 and the flags are moot). Measured on a v5e chip with bench.py (2-layer
+DGP, N=10k, M=128, S=10): 150.9 -> 179.3 steps/s for 3-pass quad+bwd,
+194.5 -> 222.6 for 1-pass bwd on top of batched factorizations; the
+full-schedule DGP training retrains to published quality under both
+(benchmarks/precision_probe*.py, benchmarks/tpu_families.py) — see README.
 
 The reference carries no counterpart: TF/GPflow runs everything in f64 on
 CPU (/root/reference/dgp_dace/models/MF_DGP.py:29).
