@@ -23,7 +23,24 @@ _STATE = {
     "jitter": None,      # None => infer from default_float
     "quad_precision": "auto",  # forward precision of the t2 quadform matmul
     "bwd_precision": "auto",   # cotangent precision of the hot matmuls
+    "use_pallas": "auto",      # fused quadform kernel (ops/quadform_pallas.py)
 }
+
+
+def set_use_pallas(value) -> None:
+    """True | False | "auto" — use the fused Pallas variational-quadform
+    kernel where applicable. "auto" = on TPU backends only (the kernel's
+    shape gates additionally require f32 and MXU-worthy sizes)."""
+    _STATE["use_pallas"] = value
+
+
+def use_pallas() -> bool:
+    v = _STATE["use_pallas"]
+    if v == "auto":
+        import jax as _jax
+
+        return _jax.default_backend() == "tpu"
+    return bool(v)
 
 
 def set_default_float(dtype) -> None:

@@ -380,12 +380,17 @@ class MultiObjDeepGP:
         )
         traces.append(_ls)
         get_q, set_q = _qs_accessors(tuple(range(len(self.params.layers))))
+        # guard_loss: the 1e-6 white anchor makes this landscape stiff enough
+        # that a finite natural-gradient step can raise the loss ~1e8x
+        # (measured 3e7 -> 4e15, never recovering); the same-key guard
+        # rejects those (variational/natgrad.py)
         self.params, _ls = training.nat_adam_run(
             loss_fn, self.params, m3,
             get_qs=get_q, set_qs=set_q,
             key=self._next_key(), steps=iterations3, lr_adam=lr_adam,
             gamma=lr_gamma, messages=messages, data=batch,
             checkpoint_every=checkpoint_every, checkpoint_fn=_ckpt,
+            guard_loss=True,
         )
         traces.append(_ls)
         return jnp.concatenate([jnp.ravel(t) for t in traces]) if traces else jnp.zeros((0,))

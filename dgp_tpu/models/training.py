@@ -360,8 +360,13 @@ def nat_adam_run(
     data=None,
     checkpoint_every: int = 0,
     checkpoint_fn=None,
+    guard_loss: bool = False,
 ):
     """Interleaved Adam + NaturalGradient phase (dgp.py:209-220).
+
+    :param guard_loss: same-key loss guard on each natural-gradient step
+        (variational.natgrad.natgrad_step_multi) — used by the MO-DGP
+        trainer, whose landscape produces finite-but-catastrophic steps.
 
     Per iteration: (1) masked-Adam step on the Euclidean parameters from one
     ELBO evaluation; (2) joint natural-gradient step on the variational pairs
@@ -396,7 +401,8 @@ def nat_adam_run(
                 def nat_loss(qs):
                     return eval_loss(set_qs(params, qs), k_nat)
 
-                new_qs = natgrad_step_multi(get_qs(params), nat_loss, gamma)
+                new_qs = natgrad_step_multi(get_qs(params), nat_loss, gamma,
+                                            guard_loss=guard_loss)
                 params = set_qs(params, new_qs)
                 if messages:
                     jax.lax.cond(
@@ -424,7 +430,7 @@ def nat_adam_run(
             return opt, make_engine(opt, n_steps, with_data=False)
         cache_key = ("nat_adam", loss_fn, get_qs, set_qs,
                      _mask_signature(euclid_mask), n_steps, lr_adam, gamma,
-                     b1, b2, eps, messages, label)
+                     b1, b2, eps, messages, label, guard_loss)
         entry = _ENGINE_CACHE.get(cache_key)
         if entry is None:
             opt = masked_adam(euclid_mask, lr_adam, b1, b2, eps)

@@ -25,6 +25,7 @@ import jax.scipy.linalg as jsl
 
 from ..config import bwd_precision, default_jitter, quad_precision
 from .precision import mm
+from .quadform_pallas import quadform_t2
 
 
 class SVGPProjection(NamedTuple):
@@ -138,9 +139,10 @@ def conditional_diag(kernel, Z, q_mu, q_sqrt, X, *, white: bool, jitter=None,
     Sq = jnp.swapaxes(jnp.tril(q_sqrt), -1, -2)  # [D, M, M]
     # t2 is a positive sum of squares (no cancellation): its forward matmul
     # runs at the configured quadform precision — the FLOP-dominant
-    # contraction of the whole model (D outputs x M^2 x S*N).
-    B = mm(Sq, A[None], quad_precision(), bwd)  # [D, M, n] batched MXU
-    t2 = jnp.sum(B * B, axis=1)                # [D, n]
+    # contraction of the whole model (D outputs x M^2 x S*N). On f32 TPU at
+    # MXU-worthy shapes this dispatches to the fused Pallas kernel that
+    # never materializes the [D, M, n] intermediate (quadform_pallas.py).
+    t2 = quadform_t2(Sq, A)                    # [D, n]
     Kff = kernel.K_diag(X)                     # [n]
     # clamp: var >= 0 mathematically (Schur complement); f32 rounding in the
     # final subtraction can still push it slightly negative, which would NaN

@@ -21,6 +21,7 @@ Everything is vmapped over the D independent output GPs.
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Tuple
 
 import jax
@@ -72,7 +73,8 @@ def _vmap_outputs(fn):
     return jax.vmap(fn, in_axes=(0, 0), out_axes=(0, 0))
 
 
-def natgrad_step_multi(qs, loss_fn, gamma: float):
+def natgrad_step_multi(qs, loss_fn, gamma: float, max_growth: float = 1e3,
+                       guard_loss: bool = False):
     """One joint natural-gradient step over several layers' (q_mu, q_sqrt).
 
     Mirrors gpflow ``NaturalGradient.minimize(loss, var_list=[(q_mu, q_sqrt),
@@ -82,6 +84,23 @@ def natgrad_step_multi(qs, loss_fn, gamma: float):
 
     :param qs: list of (q_mu [M_i, D_i], q_sqrt [D_i, M_i, M_i]).
     :param loss_fn: scalar loss as a function of such a list.
+    :param max_growth: reject a layer's step when it grows the parameter
+        norm by more than this factor (free sanity bound). None/inf disables.
+    :param guard_loss: natural-gradient steps on stiff landscapes can stay
+        finite and norm-bounded yet be catastrophic: an inner-layer Gaussian
+        anchor of variance 1e-6 (MO-DGP, MO_DGP.py:289) multiplies a modest
+        q shift into a ~1e8x loss increase (measured: one accepted step took
+        the loss from 3e7 to 4e15 and training never recovered; repro in
+        tests/test_mo_dgp.py). With ``guard_loss`` the candidate step is
+        re-evaluated under the *same* MC key (exact comparison, no sampling
+        noise) and rejected jointly if the loss worsens by more than
+        10x + 100; training then continues from the Adam-updated state and
+        the next iteration retries with a fresh key. One extra loss
+        evaluation per step (~+50% on the natgrad phase). Default OFF: it
+        changes trajectories even when it only rarely fires (measured on the
+        non-conjugate Student-t landscape, where clamping the exploratory
+        spikes worsened the final fit), so it is enabled where the
+        pathology is real — the MO-DGP trainer — and opt-in elsewhere.
     :return: list of updated (q_mu, q_sqrt).
     """
     etas = [
@@ -96,7 +115,7 @@ def natgrad_step_multi(qs, loss_fn, gamma: float):
             new_qs.append((m.T, L))
         return loss_fn(new_qs)
 
-    grads = jax.grad(loss_from_etas)(etas)
+    loss_before, grads = jax.value_and_grad(loss_from_etas)(etas)
 
     out = []
     for (m, L), (g1, g2) in zip(qs, grads):
@@ -104,15 +123,34 @@ def natgrad_step_multi(qs, loss_fn, gamma: float):
         th1 = th1 - gamma * g1
         th2 = th2 - gamma * _sym(g2)
         m_new, L_new = _vmap_outputs(natural_to_meanvarsqrt)(th1, th2)
-        # Guard: a too-large step can leave the natural-parameter cone
-        # (-theta2 loses positive-definiteness), surfacing as NaNs from the
-        # Cholesky. Keep the previous value for that layer and let the next
-        # iteration retry from wherever Adam moved the rest of the model
+        # Per-layer guard: a too-large step can leave the natural-parameter
+        # cone (-theta2 loses positive-definiteness), surfacing as NaNs from
+        # the Cholesky. Keep the previous value for that layer and let the
+        # next iteration retry from wherever Adam moved the rest of the model
         # (gpflow's optimizer would raise here and kill the whole run).
         ok = jnp.all(jnp.isfinite(m_new)) & jnp.all(jnp.isfinite(L_new))
+        if max_growth is not None and not math.isinf(max_growth):
+            size_old = jnp.linalg.norm(m) + jnp.linalg.norm(jnp.tril(L))
+            size_new = jnp.linalg.norm(m_new) + jnp.linalg.norm(L_new)
+            ok = ok & (size_new <= max_growth * (size_old + 1.0))
         m_new = jnp.where(ok, m_new.T, m)
         L_new = jnp.where(ok, L_new, jnp.tril(L))
         out.append((m_new, L_new))
+
+    if guard_loss:
+        loss_after = loss_fn(out)
+        # reject only order-of-magnitude worsenings: non-conjugate
+        # likelihoods (e.g. Student-t) legitimately take natgrad steps whose
+        # same-key loss spikes a few x before settling lower — clamping
+        # those measurably degrades the final fit (the Student-t robust
+        # regression test is the canary), while the pathological steps this
+        # guards against worsen the loss by ~1e8.
+        margin = 10.0 * jnp.abs(loss_before) + 100.0
+        accept = jnp.isfinite(loss_after) & (loss_after <= loss_before + margin)
+        out = [
+            (jnp.where(accept, m_new, m), jnp.where(accept, L_new, jnp.tril(L)))
+            for (m_new, L_new), (m, L) in zip(out, qs)
+        ]
     return out
 
 

@@ -6,6 +6,7 @@ from dgp_tpu.variational.natgrad import (
     expectation_to_meanvarsqrt,
     meanvarsqrt_to_expectation,
     meanvarsqrt_to_natural,
+    natgrad_step_multi,
     natural_to_meanvarsqrt,
 )
 
@@ -102,3 +103,60 @@ def test_small_gamma_decreases_loss():
     q_mu2, q_sqrt2 = natgrad_step(q_mu, q_sqrt, neg_elbo, gamma=0.1)
     after = float(neg_elbo(q_mu2, q_sqrt2))
     assert after < before
+
+
+def test_loss_guard_rejects_catastrophic_overshoot():
+    """gamma far beyond the stable range overshoots a conjugate quadratic;
+    the same-key loss guard must reject the step (returning the original
+    parameters) instead of accepting a worse point. gamma=1 (exact optimum)
+    must remain accepted — the guard only fires on pathological steps (the
+    MO-DGP landscape produced a finite 3e7 -> 4e15 step, see natgrad.py)."""
+    rng = np.random.default_rng(3)
+    M = 6
+    B = rng.normal(size=(M, M))
+    Kuu = B @ B.T + M * np.eye(M)
+    Lu = np.linalg.cholesky(Kuu)
+    y = rng.normal(size=(M, 1))
+    # tiny noise reproduces the MO mechanism: a modest q displacement is
+    # amplified 1/noise-fold in the data term, so a finite overshoot is
+    # catastrophic in loss while bounded in parameter norm
+    noise = 1e-5
+
+    def neg_elbo(q_mu, q_sqrt):
+        S_diag = jnp.sum(jnp.tril(q_sqrt[0]) ** 2, axis=1)
+        ll = (
+            -0.5 * M * jnp.log(2 * jnp.pi * noise)
+            - 0.5 * jnp.sum((y[:, 0] - q_mu[:, 0]) ** 2) / noise
+            - 0.5 * jnp.sum(S_diag) / noise
+        )
+        return -(ll - gauss_kl(q_mu, q_sqrt, jnp.asarray(Lu)))
+
+    q_mu0 = jnp.asarray(rng.normal(size=(M, 1)))
+    q_sqrt0 = jnp.asarray(np.tril(rng.normal(size=(1, M, M)) * 0.1
+                                  + np.eye(M)))
+    loss0 = float(neg_elbo(q_mu0, q_sqrt0))
+
+    def step(q_mu, q_sqrt, gamma):
+        (res,) = natgrad_step_multi(
+            [(q_mu, q_sqrt)], lambda qs: neg_elbo(qs[0][0], qs[0][1]),
+            gamma, guard_loss=True,
+        )
+        return res
+
+    # exact step accepted and improves
+    q_mu1, q_sqrt1 = step(q_mu0, q_sqrt0, 1.0)
+    assert float(neg_elbo(q_mu1, q_sqrt1)) < loss0
+    assert not np.allclose(np.asarray(q_mu1), np.asarray(q_mu0))
+
+    # from (near) the optimum, a wildly over-long step worsens the loss well
+    # past the 10x+100 acceptance margin -> rejected, parameters unchanged
+    # (a conjugate model from a *bad* start is exactly where huge steps are
+    # legitimate, so the guard must key on the loss, not the step size)
+    q_mu1 = q_mu1 + 0.05  # tiny offset: at the exact optimum the grad is 0
+    q_mu2, q_sqrt2 = step(q_mu1, q_sqrt1, 1e3)
+    np.testing.assert_allclose(np.asarray(q_mu2), np.asarray(q_mu1))
+    np.testing.assert_allclose(np.asarray(q_sqrt2),
+                               np.asarray(jnp.tril(q_sqrt1)))
+    # while a sane follow-up step from the same point is accepted
+    q_mu3, _ = step(q_mu1, q_sqrt1, 0.5)
+    assert not np.allclose(np.asarray(q_mu3), np.asarray(q_mu1))
