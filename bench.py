@@ -55,6 +55,8 @@ def bench_dgp_tpu():
     from dgp_tpu.models.dgp import DGP, elbo
     from dgp_tpu.ops import kernels as K
 
+    from dgp_tpu.config import precision_scope
+
     X, Y, Z = _data()
     kernels = [
         K.RBF.create(variance=1.0, lengthscales=[1.0] * DIN),
@@ -66,6 +68,12 @@ def bench_dgp_tpu():
     Xj, Yj = model.data
     mask = training.make_mask(model.params)
     opt = training.masked_adam(mask, lr=0.01)
+
+    # same 1-pass-cotangent scope the DGP trainers run under (DGP._train_scope
+    # — quality-verified on this model family at full schedules); read at
+    # trace time, so the scope must cover the first call below
+    scope = precision_scope(bwd="default")
+    scope.__enter__()
 
     @jax.jit
     def step(params, opt_state, key):
@@ -84,6 +92,7 @@ def bench_dgp_tpu():
         params, opt_state, key, loss = step(params, opt_state, key)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
+    scope.__exit__(None, None, None)
     assert bool(np.isfinite(float(loss))), "benchmark loss went non-finite"
     return STEPS / dt
 

@@ -27,6 +27,30 @@ _STATE = {
 }
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def precision_scope(quad=None, bwd=None):
+    """Temporarily pin the MXU precision knobs (trace-time settings; the
+    training-engine caches key on them, models/training._precision_signature).
+
+    Used by the DGP trainer (and bench.py) to opt into 1-pass cotangents —
+    quality-verified there at full published schedules — while the global
+    default stays 3-pass, and by the MO-DGP trainer to pin 3-pass
+    defensively (its recurrent landscape collapses under 1-pass: v5e train
+    r2 0.985 -> -0.05; MF-DGP also degrades, rmse 0.505 -> 0.878)."""
+    old_q, old_b = _STATE["quad_precision"], _STATE["bwd_precision"]
+    if quad is not None:
+        _STATE["quad_precision"] = quad
+    if bwd is not None:
+        _STATE["bwd_precision"] = bwd
+    try:
+        yield
+    finally:
+        _STATE["quad_precision"], _STATE["bwd_precision"] = old_q, old_b
+
+
 def set_use_pallas(value) -> None:
     """True | False | "auto" — use the fused Pallas variational-quadform
     kernel where applicable. "auto" = on TPU backends only (the kernel's
@@ -99,10 +123,13 @@ def quad_precision():
 
 
 def bwd_precision():
-    # 1-pass: cotangent matmuls only feed optimizer steps; measured relative
-    # gradient drift ~1e-5, three orders below the S=10 MC gradient noise,
-    # for +14% end-to-end on bench.py (194.5 -> 222.6 steps/s on v5e).
-    return _resolve_auto_precision(_STATE["bwd_precision"], "default")
+    # 3-pass by default: 1-pass cotangents (gradient drift ~1e-5 relative,
+    # +14% end-to-end) retrain plain DGP to published quality but measurably
+    # degrade the stiff staged trainings (v5e, full schedules: MF-DGP rmse
+    # 0.505 -> 0.878, MO-DGP train r2 0.985 -> -0.05). The DGP trainer and
+    # bench.py opt in via precision_scope(bwd="default") — the fast path
+    # lives where it is quality-verified, the safe default everywhere else.
+    return _resolve_auto_precision(_STATE["bwd_precision"], "high")
 
 
 # NOTE (round 2): a hand-written Pallas kernel for the fused RBF conditional

@@ -341,6 +341,21 @@ class DGP:
         return (training.make_checkpoint_fn(checkpoint_path)
                 if checkpoint_path else None)
 
+    def _train_scope(self):
+        """The DGP trainers run with 1-pass (DEFAULT) cotangent matmuls on
+        f32: quality-verified at full published schedules (step-function
+        notebook: ELBO +110.7 / RMSE 0.0086; N=1M minibatch run: test RMSE
+        at the noise floor) for +14% step throughput. The *global* default
+        stays 3-pass because the stiff staged trainers (MF/EM/MO) measurably
+        degrade under 1-pass — see config.bwd_precision."""
+        from ..config import precision_scope
+
+        if default_float() == jnp.dtype("float32"):
+            return precision_scope(bwd="default")
+        import contextlib
+
+        return contextlib.nullcontext()
+
     def optimize_adam(
         self, iterations=5000, lr=0.01, beta_1=0.9, beta_2=0.999,
         epsilon=1e-7, messages=100, checkpoint_path=None, checkpoint_every=0,
@@ -350,6 +365,13 @@ class DGP:
         :param checkpoint_path: with ``checkpoint_every`` > 0, the phase runs
             as chunked scans saving params here between chunks, so a long
             run survives preemption (restore via utils.checkpoint.load)."""
+        with self._train_scope():
+            return self._optimize_adam(iterations, lr, beta_1, beta_2,
+                                       epsilon, messages, checkpoint_path,
+                                       checkpoint_every)
+
+    def _optimize_adam(self, iterations, lr, beta_1, beta_2, epsilon,
+                       messages, checkpoint_path, checkpoint_every):
         self.params = shrink_inner_q_sqrt(self.params)
         mask = training.make_mask(self.params)
         loss_fn, batch = self._loss_spec()
@@ -367,7 +389,16 @@ class DGP:
         beta_1=0.9, beta_2=0.999, epsilon=1e-7, ng_all=True, messages=100,
         checkpoint_path=None, checkpoint_every=0,
     ):
-        """Two-phase Adam -> Adam+NatGrad training (dgp.py:280-345)."""
+        """Two-phase Adam -> Adam+NatGrad training (dgp.py:280-345).
+        Runs under the 1-pass-cotangent scope (see ``_train_scope``)."""
+        with self._train_scope():
+            return self._optimize_nat_adam(
+                iterations1, iterations2, lr_adam, lr_gamma, beta_1, beta_2,
+                epsilon, ng_all, messages, checkpoint_path, checkpoint_every)
+
+    def _optimize_nat_adam(self, iterations1, iterations2, lr_adam, lr_gamma,
+                           beta_1, beta_2, epsilon, ng_all, messages,
+                           checkpoint_path, checkpoint_every):
         self.params = shrink_inner_q_sqrt(self.params)
         n_layers = len(self.params.layers)
         sel = tuple(range(n_layers)) if ng_all else (n_layers - 1,)

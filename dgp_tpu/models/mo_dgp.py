@@ -352,9 +352,25 @@ class MultiObjDeepGP:
         :param train_upto_objective: restrict the ELBO's data terms to
             objectives 0..k (the reference's guard had a fatal typo,
             MO_DGP.py:204); -1 = all.
+
+        The whole schedule runs under ``precision_scope(bwd="high")``: the
+        recurrent coupled landscape is stiff enough that the global 1-pass
+        cotangent default collapses training (measured on v5e: train r2
+        0.985 -> -0.05; restored at 3-pass) — see dgp_tpu/config.py.
         """
+        from ..config import precision_scope
         from .dgp import _qs_accessors
 
+        with precision_scope(bwd="high"):
+            return self._nat_adam_guarded(
+                lr_adam, lr_gamma, iterations1, iterations2, iterations3,
+                messages, q_sqrt_scale, train_upto_objective,
+                checkpoint_path, checkpoint_every, _qs_accessors)
+
+    def _nat_adam_guarded(self, lr_adam, lr_gamma, iterations1, iterations2,
+                          iterations3, messages, q_sqrt_scale,
+                          train_upto_objective, checkpoint_path,
+                          checkpoint_every, _qs_accessors):
         self._init_variational(q_sqrt_scale)
         traces = []
         loss_fn, batch = self._loss_spec(train_upto_objective)
@@ -399,7 +415,19 @@ class MultiObjDeepGP:
                       iterations3=7500, messages=500, q_sqrt_scale=1e-5,
                       train_upto_objective=-1,
                       checkpoint_path=None, checkpoint_every=0):
-        """3-phase plain-Adam variant (MO_DGP.py:345-417)."""
+        """3-phase plain-Adam variant (MO_DGP.py:345-417). Runs at 3-pass
+        cotangents like optimize_nat_adam (see there)."""
+        from ..config import precision_scope
+
+        with precision_scope(bwd="high"):
+            return self._adam_staged(
+                lr, iterations1, iterations2, iterations3, messages,
+                q_sqrt_scale, train_upto_objective, checkpoint_path,
+                checkpoint_every)
+
+    def _adam_staged(self, lr, iterations1, iterations2, iterations3,
+                     messages, q_sqrt_scale, train_upto_objective,
+                     checkpoint_path, checkpoint_every):
         self._init_variational(q_sqrt_scale)
         traces = []
         loss_fn, batch = self._loss_spec(train_upto_objective)

@@ -161,6 +161,15 @@ def _mask_signature(mask):
     )
 
 
+def _precision_signature():
+    """Engines bake the MXU precision knobs in at trace time — keying the
+    cache on them makes flipping config.set_quad/bwd_precision between runs
+    recompile instead of silently reusing the old program."""
+    from ..config import bwd_precision, quad_precision, use_pallas
+
+    return (quad_precision(), bwd_precision(), use_pallas())
+
+
 def engine_cache_size() -> int:
     return len(_ENGINE_CACHE)
 
@@ -316,7 +325,8 @@ def adam_run(
             return opt, _make_adam_engine(opt, loss_fn, n_steps, messages,
                                           label, metrics_fn, with_data=False)
         cache_key = ("adam", loss_fn, _mask_signature(mask), n_steps, lr, b1,
-                     b2, eps, messages, label, metrics_fn)
+                     b2, eps, messages, label, metrics_fn,
+                     _precision_signature())
         entry = _ENGINE_CACHE.get(cache_key)
         if entry is None:
             opt = masked_adam(mask, lr, b1, b2, eps)
@@ -430,7 +440,8 @@ def nat_adam_run(
             return opt, make_engine(opt, n_steps, with_data=False)
         cache_key = ("nat_adam", loss_fn, get_qs, set_qs,
                      _mask_signature(euclid_mask), n_steps, lr_adam, gamma,
-                     b1, b2, eps, messages, label, guard_loss)
+                     b1, b2, eps, messages, label, guard_loss,
+                     _precision_signature())
         entry = _ENGINE_CACHE.get(cache_key)
         if entry is None:
             opt = masked_adam(euclid_mask, lr_adam, b1, b2, eps)

@@ -25,7 +25,7 @@ import jax.scipy.linalg as jsl
 
 from ..config import bwd_precision, default_jitter, quad_precision
 from .precision import mm
-from .quadform_pallas import quadform_t2
+from .quadform_pallas import quadform_t2, quadform_t2_t1
 
 
 class SVGPProjection(NamedTuple):
@@ -132,17 +132,18 @@ def conditional_diag(kernel, Z, q_mu, q_sqrt, X, *, white: bool, jitter=None,
     # A^T (SS^T - C) A form — same FLOPs, much better f32 conditioning:
     #   white:      var = Kff - ||A||^2        + ||q_sqrt^T A||^2
     #   non-white:  var = Kff - sum(Kuf * A)   + ||q_sqrt^T A||^2
-    if white:
-        t1 = jnp.sum(A * A, axis=0)            # [n]
-    else:
-        t1 = jnp.sum(Kuf * A, axis=0)          # kuf^T Kuu^{-1} kuf
     Sq = jnp.swapaxes(jnp.tril(q_sqrt), -1, -2)  # [D, M, M]
     # t2 is a positive sum of squares (no cancellation): its forward matmul
     # runs at the configured quadform precision — the FLOP-dominant
     # contraction of the whole model (D outputs x M^2 x S*N). On f32 TPU at
     # MXU-worthy shapes this dispatches to the fused Pallas kernel that
-    # never materializes the [D, M, n] intermediate (quadform_pallas.py).
-    t2 = quadform_t2(Sq, A)                    # [D, n]
+    # never materializes the [D, M, n] intermediate (quadform_pallas.py);
+    # the whitened t1 = ||A||^2 rides in the same kernel pass.
+    if white:
+        t2, t1 = quadform_t2_t1(Sq, A)         # [D, n], [n]
+    else:
+        t1 = jnp.sum(Kuf * A, axis=0)          # kuf^T Kuu^{-1} kuf
+        t2 = quadform_t2(Sq, A)                # [D, n]
     Kff = kernel.K_diag(X)                     # [n]
     # clamp: var >= 0 mathematically (Schur complement); f32 rounding in the
     # final subtraction can still push it slightly negative, which would NaN

@@ -90,17 +90,26 @@ def _dot(x, y, dims, prec):
     )
 
 
-def _fwd_kernel(D, M, fwd_prec, sq_ref, a_ref, out_ref):
+def _fwd_kernel(D, M, fwd_prec, with_t1, sq_ref, a_ref, out_ref,
+                t1_ref=None):
     # sq_ref is the [D*M, M] row-flattened Sq stack: ONE MXU matmul computes
     # every output GP's B tile at once (D small matmuls leave the 128x128
     # systolic array idle between issues — measured 2x slower)
-    b = _dot(sq_ref[:], a_ref[:], ((1,), (0,)), fwd_prec)   # [D*M, TN]
+    a = a_ref[:]
+    b = _dot(sq_ref[:], a, ((1,), (0,)), fwd_prec)          # [D*M, TN]
     tn = b.shape[-1]
     out_ref[:] = jnp.sum(b.reshape(D, M, tn) * b.reshape(D, M, tn), axis=1)
+    if with_t1:
+        # whitened prior-reduction term ||A||^2 for free while A is in VMEM
+        t1_ref[:] = jnp.sum(a * a, axis=0, keepdims=True)   # [1, TN]
 
 
-def _bwd_kernel(D, M, fwd_prec, bwd_prec, sq_ref, a_ref, g_ref,
-                da_ref, dsq_ref):
+def _bwd_kernel(D, M, fwd_prec, bwd_prec, with_t1, sq_ref, a_ref, g_ref,
+                *rest):
+    if with_t1:
+        g1_ref, da_ref, dsq_ref = rest
+    else:
+        da_ref, dsq_ref = rest
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -118,7 +127,10 @@ def _bwd_kernel(D, M, fwd_prec, bwd_prec, sq_ref, a_ref, g_ref,
         D * M, tn)
     gb = (2.0 * b) * gexp                                   # [D*M, TN]
     # dA = sum_{d,m} Sq[d,m,k] gb[(d,m),n] : contract the flattened row axis
-    da_ref[:] = _dot(sq, gb, ((0,), (0,)), bwd_prec)        # [M, TN]
+    da = _dot(sq, gb, ((0,), (0,)), bwd_prec)               # [M, TN]
+    if with_t1:
+        da = da + (2.0 * a) * g1_ref[:]                     # [M,TN]*[1,TN]
+    da_ref[:] = da
     # dSq[(d,m),k] += sum_n gb[(d,m),n] A[k,n] : contract n
     dsq_ref[:] += _dot(gb, a, ((1,), (1,)), bwd_prec)       # [D*M, M]
 
@@ -136,13 +148,23 @@ def _pad_n(x, tile):
 
 
 @functools.lru_cache(maxsize=None)
-def _fwd_call(D: int, M: int, n_pad: int, fwd_prec, interpret):
+def _fwd_call(D: int, M: int, n_pad: int, fwd_prec, interpret,
+              with_t1=False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     TILE_N = _tile_n(D, M)
     grid = (n_pad // TILE_N,)
-    kernel = functools.partial(_fwd_kernel, D, M, fwd_prec)
+    kernel = functools.partial(_fwd_kernel, D, M, fwd_prec, with_t1)
+    out_specs = pl.BlockSpec((D, TILE_N), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((D, n_pad), jnp.float32)
+    if with_t1:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, TILE_N), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((1, n_pad), jnp.float32))
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -152,9 +174,8 @@ def _fwd_call(D: int, M: int, n_pad: int, fwd_prec, interpret):
             pl.BlockSpec((M, TILE_N), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((D, TILE_N), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((D, n_pad), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * D * M * M * n_pad * 3,
             bytes_accessed=4 * (M * n_pad + D * M * M + D * n_pad),
@@ -166,24 +187,29 @@ def _fwd_call(D: int, M: int, n_pad: int, fwd_prec, interpret):
 
 @functools.lru_cache(maxsize=None)
 def _bwd_call(D: int, M: int, n_pad: int, fwd_prec, bwd_prec,
-              interpret):
+              interpret, with_t1=False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     TILE_N = _tile_n(D, M)
     grid = (n_pad // TILE_N,)
-    kernel = functools.partial(_bwd_kernel, D, M, fwd_prec, bwd_prec)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
+    kernel = functools.partial(_bwd_kernel, D, M, fwd_prec, bwd_prec,
+                               with_t1)
+    in_specs = [
             pl.BlockSpec((D * M, M), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((M, TILE_N), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((D, TILE_N), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-        ],
+    ]
+    if with_t1:
+        in_specs.append(pl.BlockSpec((1, TILE_N), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((M, TILE_N), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -236,6 +262,54 @@ def _t2_vjp_bwd(res, g):
 
 
 quadform_t2_pallas.defvjp(_t2_vjp_fwd, _t2_vjp_bwd)
+
+
+@jax.custom_vjp
+def quadform_t2_t1_pallas(Sq, A):
+    """(t2, t1) = (||Sq[d] A||^2 per d, ||A||^2 per point) in one pass —
+    the whitened conditional's two variance terms share A, so t1 rides
+    along while the A tile is already resident in VMEM (and its cotangent
+    2*A*g1 folds into the backward's dA for free)."""
+    return _t2_t1_fwd(Sq, A)
+
+
+def _t2_t1_fwd(Sq, A):
+    D, M = Sq.shape[0], Sq.shape[1]
+    Ap, n = _pad_n(A, _tile_n(D, M))
+    t2, t1 = _fwd_call(D, M, Ap.shape[-1], quad_precision(),
+                       _INTERPRET, with_t1=True)(Sq.reshape(D * M, M), Ap)
+    return t2[:, :n], t1[0, :n]
+
+
+def _t2_t1_vjp_fwd(Sq, A):
+    return _t2_t1_fwd(Sq, A), (Sq, A)
+
+
+def _t2_t1_vjp_bwd(res, gs):
+    Sq, A = res
+    g2, g1 = gs
+    D, M = Sq.shape[0], Sq.shape[1]
+    tn = _tile_n(D, M)
+    Ap, n = _pad_n(A, tn)
+    g2p, _ = _pad_n(g2, tn)
+    g1p, _ = _pad_n(g1[None, :], tn)
+    dA, dSq = _bwd_call(D, M, Ap.shape[-1], quad_precision(),
+                        bwd_precision(), _INTERPRET,
+                        with_t1=True)(Sq.reshape(D * M, M), Ap, g2p, g1p)
+    return dSq.reshape(D, M, M), dA[:, :n]
+
+
+quadform_t2_t1_pallas.defvjp(_t2_t1_vjp_fwd, _t2_t1_vjp_bwd)
+
+
+def quadform_t2_t1(Sq, A):
+    """Dispatch for the whitened path: fused (t2, t1) kernel where
+    applicable, jnp fallback otherwise."""
+    from ..config import use_pallas
+
+    if use_pallas() and _kernel_applicable(Sq, A):
+        return quadform_t2_t1_pallas(Sq, A)
+    return quadform_t2_reference(Sq, A), jnp.sum(A * A, axis=0)
 
 
 def quadform_t2_reference(Sq, A):

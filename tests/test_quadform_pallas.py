@@ -72,3 +72,31 @@ def test_dispatch_gates():
     from dgp_tpu import config
 
     assert config.use_pallas() in (False,)  # tests force the CPU backend
+
+
+def test_fused_t2_t1_matches_reference():
+    D, M, n = 3, 64, 700
+    Sq, A = _data(D, M, n)
+    w2 = jnp.asarray(np.random.default_rng(2).normal(size=(D, n)), jnp.float32)
+    w1 = jnp.asarray(np.random.default_rng(3).normal(size=(n,)), jnp.float32)
+
+    def f_ref(s, a):
+        return (jnp.sum(qp.quadform_t2_reference(s, a) * w2)
+                + jnp.sum(jnp.sum(a * a, axis=0) * w1))
+
+    def f_got(s, a):
+        t2, t1 = qp.quadform_t2_t1_pallas(s, a)
+        return jnp.sum(t2 * w2) + jnp.sum(t1 * w1)
+
+    t2r, t1r = qp.quadform_t2_reference(Sq, A), jnp.sum(A * A, axis=0)
+    t2, t1 = qp.quadform_t2_t1_pallas(Sq, A)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t2r), rtol=1e-4,
+                               atol=1e-4 * float(jnp.max(t2r)))
+    # t1 is a plain VPU sum of squares: exact
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t1r))
+    gr = jax.grad(f_ref, argnums=(0, 1))(Sq, A)
+    gg = jax.grad(f_got, argnums=(0, 1))(Sq, A)
+    for a, b in zip(gr, gg):
+        scale = float(jnp.max(jnp.abs(a)))
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4 * scale)
