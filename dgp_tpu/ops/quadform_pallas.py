@@ -48,21 +48,31 @@ TILE_N = 1024
 _INTERPRET = False
 
 
-def _tile_n(D, M):
+def _tile_n(D, M, prec=None):
     """Largest point-tile that keeps the backward kernel inside VMEM.
 
     The bwd working set is dominated by the recomputed B tile and its
-    cotangent, 2 * (D*M * TN) f32, plus the 3-pass bf16 split copies and
-    the A/dA/Sq/dSq blocks; budget those under ~10 MB of the 16 MB VMEM
+    cotangent, 2 * (D*M * TN) f32, plus the bf16 split copies and the
+    A/dA/Sq/dSq blocks; budget those under ~10 MB of the 16 MB VMEM
     (measured: TN=1024 at D*M=2048 overflows by 0.3 MB — exactly the
-    scoped-vmem limit)."""
+    scoped-vmem limit). HIGHEST emulation keeps both hi/lo operand splits
+    of every TN-sized buffer live, roughly doubling the working set
+    (measured 22.3 MB at the 3-pass-sized tile), so its budget halves."""
+    budget = 10 * 2 ** 20
+    if prec == jax.lax.Precision.HIGHEST:
+        budget //= 2
     tn = TILE_N
-    while tn > 128 and 4 * (2 * D * M + 2 * M) * tn > 10 * 2 ** 20:
+    while tn > 128 and 4 * (2 * D * M + 2 * M) * tn > budget:
         tn //= 2
     return tn
 
 
 # -- kernels -------------------------------------------------------------------
+
+
+def _worst(p1, p2):
+    hi = jax.lax.Precision.HIGHEST
+    return hi if hi in (p1, p2) else p1
 
 
 def _split_bf16(x):
@@ -118,9 +128,13 @@ def _bwd_kernel(D, M, fwd_prec, bwd_prec, with_t1, sq_ref, a_ref, g_ref,
 
     a = a_ref[:]
     sq = sq_ref[:]                                          # [D*M, M]
-    # recompute the forward tile (must match the forward's precision so the
-    # cotangent is of the actually-computed B)
-    b = _dot(sq, a, ((1,), (0,)), fwd_prec)                 # [D*M, TN]
+    # recompute the forward tile AT THE COTANGENT PRECISION: the recomputed
+    # B only enters gradients (gb = 2*B*g), so its error budget is the same
+    # as the cotangent matmuls' — recomputing at the (higher) forward
+    # precision spends 2 extra passes of the dominant matmul for accuracy
+    # the gradient doesn't use (measured: <=1e-4 relative drift, see
+    # benchmarks notes)
+    b = _dot(sq, a, ((1,), (0,)), bwd_prec)                 # [D*M, TN]
     tn = b.shape[-1]
     # g row d broadcast over that d's M-block of rows
     gexp = jnp.broadcast_to(g_ref[:][:, None, :], (D, M, tn)).reshape(
@@ -153,7 +167,7 @@ def _fwd_call(D: int, M: int, n_pad: int, fwd_prec, interpret,
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    TILE_N = _tile_n(D, M)
+    TILE_N = _tile_n(D, M, fwd_prec)
     grid = (n_pad // TILE_N,)
     kernel = functools.partial(_fwd_kernel, D, M, fwd_prec, with_t1)
     out_specs = pl.BlockSpec((D, TILE_N), lambda i: (0, i),
@@ -191,7 +205,7 @@ def _bwd_call(D: int, M: int, n_pad: int, fwd_prec, bwd_prec,
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    TILE_N = _tile_n(D, M)
+    TILE_N = _tile_n(D, M, _worst(fwd_prec, bwd_prec))
     grid = (n_pad // TILE_N,)
     kernel = functools.partial(_bwd_kernel, D, M, fwd_prec, bwd_prec,
                                with_t1)
@@ -240,7 +254,7 @@ def quadform_t2_pallas(Sq, A):
 
 def _t2_fwd(Sq, A):
     D, M = Sq.shape[0], Sq.shape[1]
-    Ap, n = _pad_n(A, _tile_n(D, M))
+    Ap, n = _pad_n(A, _tile_n(D, M, quad_precision()))
     out = _fwd_call(D, M, Ap.shape[-1], quad_precision(),
                     _INTERPRET)(Sq.reshape(D * M, M), Ap)
     return out[:, :n]
@@ -253,8 +267,9 @@ def _t2_vjp_fwd(Sq, A):
 def _t2_vjp_bwd(res, g):
     Sq, A = res
     D, M = Sq.shape[0], Sq.shape[1]
-    Ap, n = _pad_n(A, _tile_n(D, M))
-    gp, _ = _pad_n(g, _tile_n(D, M))
+    tn = _tile_n(D, M, _worst(quad_precision(), bwd_precision()))
+    Ap, n = _pad_n(A, tn)
+    gp, _ = _pad_n(g, tn)
     dA, dSq = _bwd_call(D, M, Ap.shape[-1], quad_precision(),
                         bwd_precision(), _INTERPRET)(Sq.reshape(D * M, M),
                                                      Ap, gp)
@@ -275,7 +290,7 @@ def quadform_t2_t1_pallas(Sq, A):
 
 def _t2_t1_fwd(Sq, A):
     D, M = Sq.shape[0], Sq.shape[1]
-    Ap, n = _pad_n(A, _tile_n(D, M))
+    Ap, n = _pad_n(A, _tile_n(D, M, quad_precision()))
     t2, t1 = _fwd_call(D, M, Ap.shape[-1], quad_precision(),
                        _INTERPRET, with_t1=True)(Sq.reshape(D * M, M), Ap)
     return t2[:, :n], t1[0, :n]
@@ -289,7 +304,7 @@ def _t2_t1_vjp_bwd(res, gs):
     Sq, A = res
     g2, g1 = gs
     D, M = Sq.shape[0], Sq.shape[1]
-    tn = _tile_n(D, M)
+    tn = _tile_n(D, M, _worst(quad_precision(), bwd_precision()))
     Ap, n = _pad_n(A, tn)
     g2p, _ = _pad_n(g2, tn)
     g1p, _ = _pad_n(g1[None, :], tn)
