@@ -153,7 +153,8 @@ def test_loss_guard_rejects_catastrophic_overshoot():
     # (a conjugate model from a *bad* start is exactly where huge steps are
     # legitimate, so the guard must key on the loss, not the step size)
     q_mu1 = q_mu1 + 0.05  # tiny offset: at the exact optimum the grad is 0
-    q_mu2, q_sqrt2 = step(q_mu1, q_sqrt1, 1e3)
+    # gamma large enough that the gamma/10 retry ALSO fails its loss check
+    q_mu2, q_sqrt2 = step(q_mu1, q_sqrt1, 1e4)
     np.testing.assert_allclose(np.asarray(q_mu2), np.asarray(q_mu1))
     np.testing.assert_allclose(np.asarray(q_sqrt2),
                                np.asarray(jnp.tril(q_sqrt1)))
