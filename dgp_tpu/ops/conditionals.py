@@ -121,6 +121,19 @@ def conditional_diag(kernel, Z, q_mu, q_sqrt, X, *, white: bool, jitter=None,
     hi = jax.lax.Precision.HIGHEST
     bwd = bwd_precision()
     Kuf = kernel.K(Z, X)                       # [M, n]
+    if white:
+        from ..config import use_pallas
+        from .quadform_pallas import _kernel_applicable
+
+        Sq_w = jnp.swapaxes(jnp.tril(q_sqrt), -1, -2)
+        if use_pallas() and _kernel_applicable(Sq_w, Kuf):
+            # fully fused whitened conditional: A/mean/t1/t2/var in one
+            # Pallas pass, hand-written VJP — A and B never reach HBM
+            # (ops/conditional_fused.py)
+            from .conditional_fused import fused_conditional_white
+
+            Kff = kernel.K_diag(X)
+            return fused_conditional_white(proj.Pinv, Kuf, q_mu, Sq_w, Kff)
     # A = Lu^{-1} Kuf (white) or Kuu^{-1} Kuf: MXU matmul against the
     # precomputed projector instead of a wide triangular solve. Forward must
     # be HIGHEST (||A||^2 cancels against Kff below); the cotangent matmuls

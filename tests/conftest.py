@@ -17,3 +17,24 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+# XLA-CPU's compiler segfaults inside backend_compile_and_load after ~100
+# heavy model compiles accumulate in one process (observed repeatedly at
+# ~2/3 through the suite, at whatever test sits there; every such test
+# passes in a fresh process). Dropping the compiled-executable caches
+# between test modules keeps the per-process compiler state bounded so the
+# suite can also run as a single pytest invocation (run_tests.sh shards it
+# anyway, which is faster).
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compiler_state():
+    yield
+    from dgp_tpu.bo import de as _de
+    from dgp_tpu.models import training as _training
+
+    _training.clear_engine_cache()
+    _de.clear_engine_cache()
+    jax.clear_caches()
