@@ -41,6 +41,17 @@ from .quadform_pallas import TILE_N, _dot, _pad_n, _worst
 _INTERPRET = False
 
 
+def fused_applicable(Sq, Kuf):
+    """Gates beyond the quadform kernel's: the fused kernel is validated
+    (compile + quality) at M <= 128; at M=256 Mosaic fails verification on
+    the in-kernel HIGHEST projection ('vector.broadcast' element-type
+    mismatch, jax-ml/jax Mosaic internal) — those shapes fall back to the
+    standalone quadform kernel path, which compiles and measures fine."""
+    from .quadform_pallas import _kernel_applicable
+
+    return _kernel_applicable(Sq, Kuf) and Sq.shape[1] <= 128
+
+
 def _tile_n(D, M, prec=None):
     """VMEM-bounded point tile for the fused kernels: the backward keeps
     B and its cotangent ([D*M, TN]) plus A/dA/Kuf/dKuf ([M, TN]) live."""

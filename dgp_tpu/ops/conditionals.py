@@ -123,10 +123,10 @@ def conditional_diag(kernel, Z, q_mu, q_sqrt, X, *, white: bool, jitter=None,
     Kuf = kernel.K(Z, X)                       # [M, n]
     if white:
         from ..config import use_pallas
-        from .quadform_pallas import _kernel_applicable
+        from .conditional_fused import fused_applicable
 
         Sq_w = jnp.swapaxes(jnp.tril(q_sqrt), -1, -2)
-        if use_pallas() and _kernel_applicable(Sq_w, Kuf):
+        if use_pallas() and fused_applicable(Sq_w, Kuf):
             # fully fused whitened conditional: A/mean/t1/t2/var in one
             # Pallas pass, hand-written VJP — A and B never reach HBM
             # (ops/conditional_fused.py)

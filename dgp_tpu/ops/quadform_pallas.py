@@ -343,13 +343,14 @@ def _kernel_applicable(Sq, A):
         return False          # sub-MXU factor: jnp path is fine
     if n < 4 * TILE_N:
         return False          # tiny point count: launch overhead dominates
-    if D * M > 1024:
+    if M > 128 or D * M > 1024:
         return False
         # arithmetic intensity of the XLA path grows ~M (FLOPs D*M^2*n vs
-        # traffic D*M*n): by M=256/D=8 the quadform is compute-bound, the
-        # backward recompute trade loses, and the VMEM-limited tile shrinks
-        # — measured 2x slower end-to-end (benchmarks/large_scale.py 71.9 ->
-        # 35.8 steps/s), vs +13% at M=128/D=8 (bench.py). Gate to the
+        # traffic D*M*n): by M=256 the quadform is compute-bound regardless
+        # of D, the backward recompute trade loses, and the VMEM-limited
+        # tile shrinks — measured on benchmarks/large_scale.py (M=256):
+        # 35.8 steps/s at D=8 and 55.1 at D=1 vs 69.9-71.9 on the XLA path,
+        # vs +13%/+19% kernel wins at M=128 (bench.py). Gate to the
         # bandwidth-bound regime.
     return True
 
