@@ -14,10 +14,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def measure(N, M, DIN=8, HIDDEN=8, S=10, steps=20, warmup=3):
+def measure(N, M, DIN=8, HIDDEN=8, S=10, steps=50, warmup=5):
     import jax
     import optax
 
+    from dgp_tpu.config import precision_scope
     from dgp_tpu.models import training
     from dgp_tpu.models.dgp import DGP, elbo
     from dgp_tpu.ops import kernels as K
@@ -42,19 +43,22 @@ def measure(N, M, DIN=8, HIDDEN=8, S=10, steps=20, warmup=3):
         return params, opt_state, key, loss
 
     params, opt_state, key = model.params, opt.init(model.params), jax.random.PRNGKey(0)
-    for _ in range(warmup):
-        params, opt_state, key, loss = step(params, opt_state, key)
-    jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        params, opt_state, key, loss = step(params, opt_state, key)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+    # the DGP trainer's 1-pass-cotangent scope (DGP._train_scope), so the
+    # sweep measures the configuration real trainings run at
+    with precision_scope(bwd="default"):
+        for _ in range(warmup):
+            params, opt_state, key, loss = step(params, opt_state, key)
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            params, opt_state, key, loss = step(params, opt_state, key)
+        jax.block_until_ready(loss)
+        dt = time.perf_counter() - t0
     assert bool(np.isfinite(float(loss)))
     return steps / dt
 
 
-def main(quick=False):
+def _enable_cache():
     import jax
 
     try:
@@ -63,18 +67,31 @@ def main(quick=False):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:
         pass
+
+
+def main(quick=False):
+    # each config runs in a FRESH subprocess: measuring several configs in
+    # one process degrades the later ones ~25% (same-shape 10k/128 measured
+    # 224 steps/s run second in-process vs 297 in isolation — accumulated
+    # XLA/allocator state; same family of problems as the test-suite
+    # compiler-state issue, see tests/conftest.py)
+    import subprocess
+
     configs = ([(1000, 64), (10_000, 128)] if quick else
                [(1000, 64), (10_000, 128), (10_000, 256), (100_000, 128)])
     results = []
     for N, M in configs:
-        sps = measure(N, M)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", str(N),
+             str(M)],
+            capture_output=True, text=True, check=True,
+        )
+        sps = float(out.stdout.strip().splitlines()[-1])
         print(f"N={N:>7} M={M:>4}: {sps:8.2f} steps/sec "
-              f"({sps * N * 10 / 1e6:9.1f} M point-samples/sec)")
+              f"({sps * N * 10 / 1e6:9.1f} M point-samples/sec)", flush=True)
         results.append({"N": N, "M": M, "steps_per_sec": round(sps, 3),
                         "point_samples_per_sec": round(sps * N * 10, 0)})
     out = {
-        "backend": jax.default_backend(),
-        "device": str(jax.devices()[0]),
         "config": "2-layer DGP, DIN=8, HIDDEN=8, S=10, f32 whitened, Adam ELBO step",
         "results": results,
     }
@@ -85,4 +102,9 @@ def main(quick=False):
 
 
 if __name__ == "__main__":
-    main(quick="--quick" in sys.argv)
+    if "--one" in sys.argv:
+        i = sys.argv.index("--one")
+        _enable_cache()
+        print(measure(int(sys.argv[i + 1]), int(sys.argv[i + 2])))
+    else:
+        main(quick="--quick" in sys.argv)
