@@ -112,8 +112,11 @@ def minimize(
         run = _de_body(fn, False, population_size, population_stddev,
                        max_iterations, differential_weight, crossover_prob)
         return run(x0, key, None)
+    from ..models.training import _precision_signature
+
     cache_key = ("de", fn, population_size, population_stddev,
-                 max_iterations, differential_weight, crossover_prob)
+                 max_iterations, differential_weight, crossover_prob,
+                 _precision_signature())
     run = _ENGINE_CACHE.get(cache_key)
     if run is None:
         run = jax.jit(_de_body(fn, True, population_size, population_stddev,
@@ -165,7 +168,9 @@ def adam_refine(
     if fn_args is None:
         run = jax.jit(lambda v: _adam_body(fn, False, iterations, lr)(v, None))
         return run(v0)
-    cache_key = ("adam", fn, iterations, lr)
+    from ..models.training import _precision_signature
+
+    cache_key = ("adam", fn, iterations, lr, _precision_signature())
     run = _ENGINE_CACHE.get(cache_key)
     if run is None:
         run = jax.jit(_adam_body(fn, True, iterations, lr))

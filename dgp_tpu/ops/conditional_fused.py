@@ -106,6 +106,13 @@ def _bwd_kernel(D, M, quad_prec, bwd_prec, pinv_ref, kuf_ref, qmu_ref,
     t1 = jnp.sum(a * a, axis=0, keepdims=True)               # [1, TN]
     t2 = jnp.sum(b.reshape(D, M, tn) * b.reshape(D, M, tn), axis=1)
     lin = (kff_ref[:] - t1) + t2                             # [D, TN]
+    # Clamp-mask caveat: the forward computed var from A at HIGHEST and B at
+    # quad precision; this recompute uses A at HIGH and B at bwd precision, so
+    # near var == 0 (exactly where the clamp acts) the active set can disagree
+    # with the forward — passing gradient through a point the forward clamped,
+    # or zeroing one it didn't. This is part of the measured 2.7e-5 relative
+    # gradient-drift budget above; shipping the forward mask instead would
+    # cost an extra [D, N] HBM stream for a sub-ulp-rate event.
     gv = gvar_ref[:] * (lin > 0.0)                           # [D, TN]
     s = jnp.sum(gv, axis=0, keepdims=True)                   # [1, TN]
     dkff_ref[:] = s

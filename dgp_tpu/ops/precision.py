@@ -17,9 +17,13 @@ posterior variance (relative error there is amplified by ~Kff/var, up to
   cotangent drift 5.9e-6.
 
 On f32 accelerators ``quad_precision`` therefore defaults to HIGH (3-pass
-forward; users see the variance) and ``bwd_precision`` to DEFAULT (1-pass
-cotangents); under x64 both are HIGHEST (the CPU backend computes native
-f64 and the flags are moot). Measured on a v5e chip with bench.py (2-layer
+forward; users see the variance) and the *global* ``bwd_precision`` default
+is also HIGH: 1-pass (DEFAULT) cotangents are landscape-dependent — verified
+safe for the plain-DGP trainers (which opt in via
+``config.precision_scope(bwd="default")``, as does bench.py) but measurably
+degrading for the stiff staged MF/EM/MO trainers at full schedules (see
+config.bwd_precision). Under x64 both are HIGHEST (the CPU backend computes
+native f64 and the flags are moot). Measured on a v5e chip with bench.py (2-layer
 DGP, N=10k, M=128, S=10): 150.9 -> 179.3 steps/s for 3-pass quad+bwd,
 194.5 -> 222.6 for 1-pass bwd on top of batched factorizations; the
 full-schedule DGP training retrains to published quality under both

@@ -1,5 +1,5 @@
 #!/bin/bash
-# Full test suite, sharded into two fresh processes.
+# Full test suite, sharded into three fresh processes.
 #
 # One long pytest process accumulates XLA-CPU compiler state across the
 # ~150 jitted programs the suite builds and eventually segfaults inside
