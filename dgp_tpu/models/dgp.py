@@ -269,24 +269,26 @@ class DGP:
         stable while a BO loop grows N one point at a time. With ``mesh``
         set, the ELBO runs data-parallel under shard_map (rows padded to a
         device multiple with 0/1 weights; psum over ICI) through the same
-        cached engines."""
+        cached engines — 1-D data meshes, 2-D data x sample meshes
+        (parallel.mesh.make_mesh_2d), and hierarchical DCN x ICI multislice
+        meshes (make_mesh_multislice) are all accepted, and combine with
+        ``minibatch_size`` via device-local unbiased index draws
+        (parallel.data_parallel.sharded_dgp_minibatch_loss)."""
         X, Y = self.data
         S = self.num_samples
         B = self.minibatch_size
         N = X.shape[0]
         if self.mesh is not None:
-            if B is not None and B < N:
-                raise NotImplementedError(
-                    "minibatch_size with mesh is not supported yet — shard "
-                    "the full batch (rows already stream from HBM) or drop "
-                    "the mesh"
-                )
             from ..parallel.data_parallel import (
                 pad_shard_batch,
                 sharded_dgp_loss,
+                sharded_dgp_minibatch_loss,
             )
 
             Xp, Yp, w, n = pad_shard_batch(self.mesh, X, Y, self.n_bucket)
+            if B is not None and B < N:
+                return (sharded_dgp_minibatch_loss(self.mesh, S, B),
+                        (Xp, Yp, w, n))
             return sharded_dgp_loss(self.mesh, S), (Xp, Yp, w, n)
         if B is not None and B < N:
             if self.n_bucket:

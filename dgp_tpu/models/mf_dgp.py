@@ -338,17 +338,22 @@ class MultiFidelityDeepGP:
         every fidelity's rows shard over the data axis under shard_map."""
         Xs, Ys = list(self._X), list(self._Y)
         if self.mesh is not None:
-            if self.minibatch_size is not None:
-                raise NotImplementedError(
-                    "minibatch_size with mesh is not supported yet"
-                )
             from ..parallel.data_parallel import (
                 pad_shard_fidelity_batch,
                 sharded_mf_loss,
+                sharded_mf_minibatch_loss,
             )
 
             batch = pad_shard_fidelity_batch(self.mesh, Xs, Ys,
                                              self.n_bucket)
+            if self.minibatch_size is not None:
+                sizes = tuple(
+                    min(int(b), x.shape[0])
+                    for b, x in zip(self.minibatch_size, self._X)
+                )
+                return (sharded_mf_minibatch_loss(self.mesh,
+                                                  self.num_samples, sizes,
+                                                  train_upto), batch)
             return sharded_mf_loss(self.mesh, self.num_samples,
                                    train_upto), batch
         if self.minibatch_size is not None:

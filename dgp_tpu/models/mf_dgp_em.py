@@ -424,13 +424,12 @@ class MultiFidelityDeepGP_EM:
         Xs, Ys = list(self._X), list(self._Y)
         Xr = list(self._X_red)
         if self.mesh is not None:
-            if self.minibatch_size is not None:
-                raise NotImplementedError(
-                    "minibatch_size with mesh is not supported yet"
-                )
             import math
 
-            from ..parallel.data_parallel import sharded_em_loss
+            from ..parallel.data_parallel import (
+                sharded_em_loss,
+                sharded_em_minibatch_loss,
+            )
             from ..parallel.mesh import shard_batch
 
             n_dev = self.mesh.shape["data"]
@@ -446,8 +445,17 @@ class MultiFidelityDeepGP_EM:
                 Xs[f], Ys[f] = Xp, Yp
                 ws.append(w)
                 nds.append(jnp.asarray(self._X[f].shape[0], Xp.dtype))
-            return (sharded_em_loss(self.mesh, self.num_samples, train_upto),
-                    (tuple(Xs), tuple(Ys), tuple(Xr), tuple(ws), tuple(nds)))
+            batch = (tuple(Xs), tuple(Ys), tuple(Xr), tuple(ws), tuple(nds))
+            if self.minibatch_size is not None:
+                sizes = tuple(
+                    min(int(b), x.shape[0])
+                    for b, x in zip(self.minibatch_size, self._X)
+                )
+                return (sharded_em_minibatch_loss(self.mesh,
+                                                  self.num_samples, sizes,
+                                                  train_upto), batch)
+            return sharded_em_loss(self.mesh, self.num_samples,
+                                   train_upto), batch
         if self.minibatch_size is not None:
             sizes = tuple(
                 min(int(b), x.shape[0])

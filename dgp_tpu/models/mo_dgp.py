@@ -250,17 +250,23 @@ class MultiObjDeepGP:
         mf_dgp._loss_spec."""
         Xs, Ys = list(self._X), list(self._Y)
         if self.mesh is not None:
-            if self.minibatch_size is not None:
-                raise NotImplementedError(
-                    "minibatch_size with mesh is not supported yet"
-                )
             from ..parallel.data_parallel import (
                 pad_shard_fidelity_batch,
                 sharded_mo_loss,
+                sharded_mo_minibatch_loss,
             )
 
             batch = pad_shard_fidelity_batch(self.mesh, Xs, Ys,
                                              self.n_bucket)
+            if self.minibatch_size is not None:
+                sizes = tuple(
+                    min(int(b), x.shape[0])
+                    for b, x in zip(self.minibatch_size, self._X)
+                )
+                return (sharded_mo_minibatch_loss(self.mesh,
+                                                  self.num_samples,
+                                                  self.loop, sizes,
+                                                  train_upto), batch)
             return (sharded_mo_loss(self.mesh, self.num_samples, self.loop,
                                     train_upto), batch)
         if self.minibatch_size is not None:
@@ -346,12 +352,30 @@ class MultiObjDeepGP:
     def optimize_nat_adam(self, lr_adam=0.01, lr_gamma=0.01, iterations1=2000,
                           iterations2=5000, iterations3=7500, messages=500,
                           q_sqrt_scale=1e-2, train_upto_objective=-1,
-                          checkpoint_path=None, checkpoint_every=0):
+                          checkpoint_path=None, checkpoint_every=0,
+                          restarts=1, restart_select="fit"):
         """3-phase training (MO_DGP.py:418-494).
 
         :param train_upto_objective: restrict the ELBO's data terms to
             objectives 0..k (the reference's guard had a fatal typo,
             MO_DGP.py:204); -1 = all.
+        :param restarts: best-of-k multi-start. The coupled recurrent
+            landscape is chaotic — trajectories are ulp-sensitive to the MC
+            key stream, and a minority land in poor basins that the natgrad
+            loss guard cannot rescue (measured: 1 of 4 seeds at the full
+            published schedule). With ``restarts=k > 1`` the schedule runs k
+            times from the same initialization with independent PRNG streams
+            and the best candidate's parameters are kept. Candidates reuse
+            the cached compiled engines, so warm restarts cost only the step
+            time (~seconds at the reference's tiny-n configs), and they are
+            embarrassingly parallel in principle.
+        :param restart_select: selection criterion. ``"fit"`` (default)
+            maximizes the worst per-objective train r2 under a shared
+            evaluation key — final ELBO provably does NOT separate good from
+            bad basins here (a measured r2=0.49 run ended at ELBO -59 while
+            an r2=0.96 run ended at -142: the bad basin buys a smaller KL).
+            ``"elbo"`` selects by same-key ELBO anyway (for landscapes where
+            fit evaluation is too costly).
 
         The whole schedule runs under ``precision_scope(bwd="high")``: the
         recurrent coupled landscape is stiff enough that the global 1-pass
@@ -362,10 +386,47 @@ class MultiObjDeepGP:
         from .dgp import _qs_accessors
 
         with precision_scope(bwd="high"):
-            return self._nat_adam_guarded(
-                lr_adam, lr_gamma, iterations1, iterations2, iterations3,
-                messages, q_sqrt_scale, train_upto_objective,
-                checkpoint_path, checkpoint_every, _qs_accessors)
+            if restarts <= 1:
+                return self._nat_adam_guarded(
+                    lr_adam, lr_gamma, iterations1, iterations2, iterations3,
+                    messages, q_sqrt_scale, train_upto_objective,
+                    checkpoint_path, checkpoint_every, _qs_accessors)
+            params0, key0 = self.params, self._key
+            eval_key = jax.random.fold_in(key0, 0x5e1ec7)
+            best = None
+            for r in range(restarts):
+                self.params = params0
+                self._key = jax.random.fold_in(key0, r)
+                losses = self._nat_adam_guarded(
+                    lr_adam, lr_gamma, iterations1, iterations2, iterations3,
+                    messages, q_sqrt_scale, train_upto_objective,
+                    checkpoint_path, checkpoint_every, _qs_accessors)
+                score = self._restart_score(restart_select, eval_key)
+                if messages:
+                    print(f"restart {r}: score={score:.4f}")
+                if best is None or score > best[0]:
+                    best = (score, self.params, self._key, losses)
+            _, self.params, self._key, losses = best
+            return losses
+
+    def _restart_score(self, criterion, eval_key):
+        """Scalar candidate score under a shared key (higher is better)."""
+        if criterion == "elbo":
+            return float(_elbo_jit(self.params, tuple(self._X),
+                                   tuple(self._Y), eval_key,
+                                   self.num_samples, self.loop, -1))
+        if criterion != "fit":
+            raise ValueError(f"unknown restart_select {criterion!r}")
+        r2s = []
+        for obj in range(len(self._Y)):
+            Fmean, Fvar = _predict_f_jit(self.params, self._X[obj], eval_key,
+                                         50, obj, self.loop, False)
+            mean, _ = moment_matched(Fmean, Fvar)
+            y = self._Y[obj]
+            ss_res = jnp.sum((mean.reshape(y.shape) - y) ** 2)
+            ss_tot = jnp.sum((y - y.mean()) ** 2)
+            r2s.append(float(1.0 - ss_res / ss_tot))
+        return min(r2s)
 
     def _nat_adam_guarded(self, lr_adam, lr_gamma, iterations1, iterations2,
                           iterations3, messages, q_sqrt_scale,

@@ -79,8 +79,12 @@ def make_mesh_multislice(
     return Mesh(grid, tuple(axis_names))
 
 
-def shard_batch(mesh: Mesh, *arrays, axis_name: str = "data"):
-    """Place arrays with their leading axis sharded over the mesh."""
+def shard_batch(mesh: Mesh, *arrays, axis_name="data"):
+    """Place arrays with their leading axis sharded over the mesh.
+
+    ``axis_name`` may be a single mesh axis or a tuple of axes (e.g.
+    ``("slice", "data")`` for a hybrid DCN x ICI mesh): rows then shard over
+    the *product* of those axes, outermost first."""
     sharding = NamedSharding(mesh, P(axis_name))
     out = tuple(jax.device_put(a, sharding) for a in arrays)
     return out if len(out) > 1 else out[0]

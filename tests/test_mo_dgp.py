@@ -163,3 +163,33 @@ def test_mo_minibatch_and_train_upto_objective():
         lr=0.05, iterations1=5, iterations2=5, iterations3=5,
         messages=0, train_upto_objective=0))
     assert np.all(np.isfinite(losses2))
+
+
+def test_best_of_k_restarts():
+    """restarts=k reruns the schedule from the same init with independent
+    PRNG streams and keeps the best candidate by worst-per-objective train
+    r2 (final ELBO measurably does not separate good/bad basins here)."""
+    rng = np.random.default_rng(5)
+    X = rng.uniform(0, 1, (10, 1))
+    Y = [np.sin(3 * X), np.cos(2 * X)]
+
+    m1 = MultiObjDeepGP([X, X.copy()], Y, loop=1, num_samples=2, seed=2)
+    l1 = np.asarray(m1.optimize_nat_adam(
+        iterations1=4, iterations2=4, iterations3=8, messages=0))
+    s1 = m1._restart_score("fit", jax.random.PRNGKey(7))
+
+    mk = MultiObjDeepGP([X, X.copy()], Y, loop=1, num_samples=2, seed=2)
+    lk = np.asarray(mk.optimize_nat_adam(
+        iterations1=4, iterations2=4, iterations3=8, messages=0, restarts=3))
+    sk = mk._restart_score("fit", jax.random.PRNGKey(7))
+
+    assert np.all(np.isfinite(lk)) and lk.shape == l1.shape
+    # best-of-3 under the selection key can't be worse than a fixed single
+    # run under the same schedule up to eval-key noise; just pin both finite
+    # and the selection machinery returning a sane scalar
+    assert np.isfinite(sk) and np.isfinite(s1)
+    # elbo criterion also runs
+    assert np.isfinite(mk._restart_score("elbo", jax.random.PRNGKey(7)))
+    import pytest
+    with pytest.raises(ValueError):
+        mk._restart_score("nope", jax.random.PRNGKey(7))

@@ -250,3 +250,161 @@ def test_mesh_mo_and_em_training_smoke():
         lr_adam=0.01, iterations1=3, iterations2=3, iterations3=3,
         messages=0))
     assert np.all(np.isfinite(losses))
+
+
+# -- sharded minibatch training (mesh x minibatch_size) -------------------------
+
+
+def _loss_over_keys(loss_fn, params, batch, n_keys, seed=0):
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_keys)
+    vals = jax.jit(
+        lambda ks: jax.lax.map(lambda k: loss_fn(params, k, batch), ks)
+    )(keys)
+    return np.asarray(vals)
+
+
+def test_sharded_dgp_minibatch_unbiased():
+    """Single-layer model: per-row variational expectations are sampling-free,
+    so the device-local minibatch draws (n_local/B_local scaling) must average
+    to the deterministic full-batch sharded loss. N=44 is not device-divisible
+    — the boundary device holds a 2-true-row prefix + 4 pad rows, exercising
+    the contiguous-prefix invariant the local draw relies on."""
+    rng = np.random.default_rng(11)
+    N = 44
+    X = rng.uniform(0, 1, size=(N, 1))
+    Y = np.sin(5 * X)
+    kerns = lambda: [K.RBF.create(lengthscales=[1.0])]
+    mesh = make_mesh(8)
+
+    m_full = DGP(X, Y, X[:6].copy(), kerns(), [], num_samples=2, seed=7,
+                 mesh=mesh)
+    loss_full, batch_full = m_full._loss_spec()
+    full_val = float(loss_full(m_full.params, jax.random.PRNGKey(0),
+                               batch_full))
+
+    m_mb = DGP(X, Y, X[:6].copy(), kerns(), [], num_samples=2, seed=7,
+               minibatch_size=16, mesh=mesh)
+    loss_mb, batch_mb = m_mb._loss_spec()
+    vals = _loss_over_keys(loss_mb, m_mb.params, batch_mb, 512)
+    assert np.all(np.isfinite(vals))
+    se = vals.std(ddof=1) / np.sqrt(len(vals))
+    assert abs(vals.mean() - full_val) < 5 * se + 1e-9, (
+        vals.mean(), full_val, se)
+
+
+def test_sharded_dgp_minibatch_trains_all_topologies():
+    """DGP(mesh=..., minibatch_size=...) trains finitely through the public
+    API on 1-D data, 2-D data x sample, and DCN x ICI multislice meshes."""
+    from dgp_tpu.parallel.mesh import make_mesh_2d, make_mesh_multislice
+
+    rng = np.random.default_rng(12)
+    N = 50
+    X = rng.uniform(0, 1, size=(N, 2))
+    Y = np.sin(4 * X[:, :1]) + X[:, 1:]
+    kerns = lambda: [K.RBF.create(lengthscales=[1.0, 1.0]),
+                     K.RBF.create(lengthscales=[1.0])]
+    for mesh in (make_mesh(8), make_mesh_2d(4, 2), make_mesh_multislice(2, 4)):
+        m = DGP(X, Y, X[:6].copy(), kerns(), [1], num_samples=2, seed=3,
+                minibatch_size=16, mesh=mesh)
+        losses = np.asarray(m.optimize_nat_adam(
+            iterations1=3, iterations2=3, messages=0))
+        assert np.all(np.isfinite(losses)), tuple(mesh.axis_names)
+
+
+def test_mesh_2d_and_multislice_trainer_trajectory_matches_single_device():
+    """Full-batch DGP training through 2-D and multislice meshes runs the same
+    cached engines; on a sampling-free single-layer model the whole Adam +
+    NatGrad trajectory must match the unsharded run to fp tolerance."""
+    from dgp_tpu.parallel.mesh import make_mesh_2d, make_mesh_multislice
+
+    rng = np.random.default_rng(13)
+    N = 44
+    X = rng.uniform(0, 1, size=(N, 1))
+    Y = np.sin(5 * X)
+    kerns = lambda: [K.RBF.create(lengthscales=[1.0])]
+
+    m_single = DGP(X, Y, X[:6].copy(), kerns(), [], num_samples=2, seed=7)
+    m_single.optimize_nat_adam(iterations1=4, iterations2=4, messages=0)
+
+    for mesh in (make_mesh_2d(4, 2), make_mesh_multislice(2, 4)):
+        m_mesh = DGP(X, Y, X[:6].copy(), kerns(), [], num_samples=2, seed=7,
+                     mesh=mesh)
+        m_mesh.optimize_nat_adam(iterations1=4, iterations2=4, messages=0)
+        for a, b in zip(jax.tree_util.tree_leaves(m_single.params),
+                        jax.tree_util.tree_leaves(m_mesh.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-9)
+
+
+def test_mesh_row_axes_validation():
+    import pytest
+
+    from dgp_tpu.parallel.data_parallel import (
+        mesh_row_axes,
+        sharded_mf_minibatch_loss,
+    )
+    from dgp_tpu.parallel.mesh import make_mesh_2d, make_mesh_multislice
+
+    assert mesh_row_axes(make_mesh(8)) == (("data",), None)
+    assert mesh_row_axes(make_mesh_2d(4, 2)) == (("data",), "sample")
+    assert mesh_row_axes(make_mesh_multislice(2, 4)) == (("slice", "data"),
+                                                         None)
+    with pytest.raises(ValueError):
+        sharded_mf_minibatch_loss(make_mesh_2d(4, 2), 2, (8, 4))
+
+
+def test_sharded_mf_minibatch_statistical_equivalence():
+    """Sharded per-fidelity minibatch MF loss must agree with the sharded
+    full-batch MF loss in expectation over (index draw, MC) keys."""
+    from dgp_tpu.models.mf_dgp import MultiFidelityDeepGP
+
+    rng = np.random.default_rng(14)
+    X = [rng.uniform(0, 1, (21, 2)), rng.uniform(0, 1, (6, 2))]
+    f = lambda x: np.sin(3 * x[:, :1]) + x[:, 1:]
+    Y = [f(X[0]) + 0.3, f(X[1])]
+    mesh = make_mesh(8)
+
+    m_full = MultiFidelityDeepGP(X, Y, num_samples=2, seed=5, mesh=mesh)
+    loss_full, batch_full = m_full._loss_spec()
+    v_full = _loss_over_keys(loss_full, m_full.params, batch_full, 192)
+
+    m_mb = MultiFidelityDeepGP(X, Y, num_samples=2, seed=5,
+                               minibatch_size=[12, 4], mesh=mesh)
+    loss_mb, batch_mb = m_mb._loss_spec()
+    v_mb = _loss_over_keys(loss_mb, m_mb.params, batch_mb, 192, seed=1)
+
+    assert np.all(np.isfinite(v_mb))
+    se = np.sqrt(v_full.var(ddof=1) / len(v_full)
+                 + v_mb.var(ddof=1) / len(v_mb))
+    assert abs(v_full.mean() - v_mb.mean()) < 5 * se + 1e-9, (
+        v_full.mean(), v_mb.mean(), se)
+
+
+def test_sharded_em_and_mo_minibatch_training():
+    """MF-DGP-EM and MO-DGP with mesh + minibatch_size: full staged schedules
+    run finite through the public API (the EM L_red term reuses fidelity f+1's
+    index draw in lockstep)."""
+    from dgp_tpu.bo.doe import lhs
+    from dgp_tpu.models.mf_dgp_em import MultiFidelityDeepGP_EM
+    from dgp_tpu.models.mo_dgp import MultiObjDeepGP
+    from dgp_tpu.utils.test_functions import park_vd_high, park_vd_low
+
+    mesh = make_mesh(8)
+    X = [lhs(2, 12, seed=123), lhs(4, 5, seed=0)]
+    Y = [park_vd_low(X[0]), park_vd_high(X[1])]
+    X_red = [X[1][:, :2]]
+    em = MultiFidelityDeepGP_EM(X, Y, X_red, num_samples=2,
+                                minibatch_size=[8, 4], mesh=mesh)
+    losses = np.asarray(em.optimize_nat_adam(
+        lr_adam=0.01, iterations1=3, iterations2=3, iterations3=3,
+        messages=0))
+    assert np.all(np.isfinite(losses))
+
+    rng = np.random.default_rng(15)
+    Xm = rng.uniform(0, 1, (10, 1))
+    mo = MultiObjDeepGP([Xm, Xm.copy()], [np.sin(3 * Xm), np.cos(2 * Xm)],
+                        loop=1, num_samples=2, minibatch_size=[6, 6],
+                        mesh=mesh)
+    losses = np.asarray(mo.optimize_adam(
+        lr=0.01, iterations1=3, iterations2=3, iterations3=3, messages=0))
+    assert np.all(np.isfinite(losses))
