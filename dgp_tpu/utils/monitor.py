@@ -34,6 +34,70 @@ def summarize_tensor(x, title: str = "") -> dict:
     return stats
 
 
+def _leaf_transform(path_str: str) -> str:
+    if path_str.endswith("_raw"):
+        return "softplus"
+    if path_str.endswith("q_sqrt"):
+        return "tril"
+    return "identity"
+
+
+def summary(model_or_params, print_fn=print) -> list:
+    """Parameter table for any model wrapper or params pytree — the
+    counterpart of the gpflow ``print_summary`` the reference notebooks use
+    as an inspection oracle (e.g. the ``Z_left (6, 4)`` row of
+    nb_mfdgpem.ipynb cell 12).
+
+    Walks the params pytree and prints one row per parameter leaf: pytree
+    path, transform (``softplus`` for ``*_raw`` leaves, ``tril`` for
+    ``q_sqrt``), shape, dtype, and the *constrained* value (scalars and
+    small vectors verbatim, min..max for larger arrays). Returns the rows as
+    dicts; pass ``print_fn=None`` to suppress printing.
+
+    Works on DGP / MultiFidelityDeepGP / MultiFidelityDeepGP_EM /
+    MultiObjDeepGP / GPR wrappers (anything with ``.params``) and on bare
+    pytrees.
+    """
+    from ..ops.transforms import positive
+
+    params = getattr(model_or_params, "params", model_or_params)
+    rows = []
+    for kp, leaf in jax.tree_util.tree_leaves_with_path(params):
+        path = jax.tree_util.keystr(kp)
+        path = path.replace("['", ".").replace("']", "")
+        path = path.lstrip(".")
+        transform = _leaf_transform(path)
+        value = positive(leaf) if transform == "softplus" else leaf
+        value = np.asarray(value)
+        if value.size == 1:
+            shown = f"{float(value.reshape(())):.5g}"
+        elif value.size <= 4:
+            shown = "[" + ", ".join(f"{v:.4g}" for v in value.ravel()) + "]"
+        else:
+            shown = f"[{value.min():.4g} .. {value.max():.4g}]"
+        rows.append({
+            "name": path.removesuffix("_raw"),
+            "transform": transform,
+            "shape": tuple(value.shape),
+            "dtype": str(value.dtype),
+            "value": shown,
+            "size": int(value.size),
+        })
+    if print_fn is not None:
+        cols = ("name", "transform", "shape", "dtype", "value")
+        cells = [[str(r[c]) for c in cols] for r in rows]
+        widths = [max([len(c)] + [len(row[i]) for row in cells])
+                  for i, c in enumerate(cols)]
+        fmt = "  ".join("{:<%d}" % w for w in widths)
+        print_fn(fmt.format(*(c for c in cols)))
+        print_fn(fmt.format(*("-" * w for w in widths)))
+        for row in cells:
+            print_fn(fmt.format(*row))
+        total = sum(r["size"] for r in rows)
+        print_fn(f"total parameters: {total}")
+    return rows
+
+
 def grad_norms(grads) -> dict:
     """Per-leaf gradient norms keyed by pytree path (jit-friendly values)."""
     out = {}

@@ -179,3 +179,59 @@ def test_dgp_wrapper_checkpoint_path(tmp_path):
 
 
 import jax  # noqa: E402  (used by the checkpoint tests above)
+
+
+def test_summary_parameter_table(capsys):
+    """summary() prints a gpflow-print_summary-style table (the notebooks'
+    inspection oracle, e.g. the Z_left (6, 4) row of nb_mfdgpem cell 12) and
+    works on all four model wrappers + GPR + bare pytrees."""
+    import numpy as np
+
+    from dgp_tpu.bo.doe import lhs
+    from dgp_tpu.models.dgp import DGP
+    from dgp_tpu.models.gpr import GPR
+    from dgp_tpu.models.mf_dgp import MultiFidelityDeepGP
+    from dgp_tpu.models.mf_dgp_em import MultiFidelityDeepGP_EM
+    from dgp_tpu.models.mo_dgp import MultiObjDeepGP
+    from dgp_tpu.ops import kernels as K
+    from dgp_tpu.utils.test_functions import park_vd_high, park_vd_low
+
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0, 1, (20, 2))
+    Y = np.sin(3 * X[:, :1])
+    m = DGP(X, Y, X[:6].copy(),
+            [K.RBF.create(lengthscales=[1.0, 1.0]),
+             K.RBF.create(lengthscales=[1.0])], [1], num_samples=2)
+    rows = monitor.summary(m)
+    out = capsys.readouterr().out
+    assert "layers[0].kernel.lengthscales" in out
+    assert "softplus" in out and "total parameters:" in out
+    assert any(r["transform"] == "tril" and r["name"].endswith("q_sqrt")
+               for r in rows)
+    # every reference-visible parameter group is present
+    names = " ".join(r["name"] for r in rows)
+    assert "likelihood.variance" in names and ".z" in names
+
+    # silent mode + bare pytree
+    assert monitor.summary(m.params, print_fn=None) == \
+        monitor.summary(m, print_fn=None)
+
+    g = GPR((X, Y), K.RBF.create(lengthscales=[1.0, 1.0]))
+    assert len(monitor.summary(g, print_fn=None)) >= 3
+
+    Xmf = [rng.uniform(0, 1, (12, 2)), rng.uniform(0, 1, (5, 2))]
+    Ymf = [np.sin(3 * Xmf[0][:, :1]), np.sin(3 * Xmf[1][:, :1])]
+    mf = MultiFidelityDeepGP(Xmf, Ymf, num_samples=2)
+    mf_rows = monitor.summary(mf, print_fn=None)
+    assert any("z_left" in r["name"] for r in mf_rows)
+
+    Xe = [lhs(2, 12, seed=123), lhs(4, 5, seed=0)]
+    Ye = [park_vd_low(Xe[0]), park_vd_high(Xe[1])]
+    em = MultiFidelityDeepGP_EM(Xe, Ye, [Xe[1][:, :2]], num_samples=2)
+    em_rows = monitor.summary(em, print_fn=None)
+    assert any("layers_red" in r["name"] for r in em_rows)
+
+    Xm = rng.uniform(0, 1, (10, 1))
+    mo = MultiObjDeepGP([Xm, Xm.copy()], [np.sin(3 * Xm), np.cos(2 * Xm)],
+                        loop=1, num_samples=2)
+    assert len(monitor.summary(mo, print_fn=None)) > 0
