@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def run(seed, full=False):
+def run(seed, full=False, restarts=1):
     from dgp_tpu.bo.doe import lhs
     from dgp_tpu.bo.problems import get
     from dgp_tpu.models.dgp import moment_matched
@@ -41,11 +41,12 @@ def run(seed, full=False):
              if full else
              dict(iterations1=200, iterations2=300, iterations3=800))
     t0 = time.perf_counter()
-    losses = model.optimize_nat_adam(messages=0, **sched)
+    losses = model.optimize_nat_adam(messages=0, restarts=restarts, **sched)
     wall = time.perf_counter() - t0
     l = np.asarray(losses)
     out = {"seed": seed,
            "schedule": "/".join(str(v) for v in sched.values()),
+           "restarts": restarts,
            "wall_s": round(wall, 1),
            "elbo_end": round(-float(l[-20:].mean()), 1),
            "nonfinite": int(np.sum(~np.isfinite(l)))}
@@ -61,15 +62,30 @@ def run(seed, full=False):
 
 def main():
     full = "--full" in sys.argv
+    restarts = 1
+    if "--restarts" in sys.argv:
+        restarts = int(sys.argv[sys.argv.index("--restarts") + 1])
     results = []
     for seed in (0, 1, 2, 3):
-        out = run(seed, full=full)
+        out = run(seed, full=full, restarts=restarts)
         print(json.dumps(out), flush=True)
         results.append(out)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "mo_seeds_results.json")
+    merged = results
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prior = json.load(f)
+            if isinstance(prior, dict):
+                tag = ("full" if full else "short") + \
+                    (f"_restarts{restarts}" if restarts > 1 else "")
+                prior[tag] = results
+                merged = prior
+        except Exception:
+            pass
     with open(path, "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(merged, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -134,11 +134,20 @@ def conditional_diag(kernel, Z, q_mu, q_sqrt, X, *, white: bool, jitter=None,
 
             Kff = kernel.K_diag(X)
             return fused_conditional_white(proj.Pinv, Kuf, q_mu, Sq_w, Kff)
-    # A = Lu^{-1} Kuf (white) or Kuu^{-1} Kuf: MXU matmul against the
-    # precomputed projector instead of a wide triangular solve. Forward must
-    # be HIGHEST (||A||^2 cancels against Kff below); the cotangent matmuls
-    # only feed optimizer steps and run at the configured bwd precision.
-    A = mm(proj.Pinv, Kuf, hi, bwd)
+    # A (white) = Lu^{-1} Kuf: MXU matmul against the precomputed triangular
+    # inverse instead of a wide triangular solve. Forward must be HIGHEST
+    # (||A||^2 cancels against Kff below); the cotangent matmuls only feed
+    # optimizer steps and run at the configured bwd precision.
+    # A (non-white) = Kuu^{-1} Kuf via two substitution solves: measured in
+    # f32 at cond(Kuu)~3e5 the explicit-inverse multiply loses ~10x accuracy
+    # vs substitution (mean relerr 0.155 vs 0.010, var 0.044 vs 0.004 of
+    # scale — tests/test_conditionals.py::test_nonwhite_f32_vs_f64_oracle),
+    # and every non-whitened consumer (MF/EM/MO, tiny n) is far from the
+    # MXU roofline anyway; the whitened hot path keeps the matmul form.
+    if white:
+        A = mm(proj.Pinv, Kuf, hi, bwd)
+    else:
+        A = jsl.cho_solve((proj.Lu, True), Kuf)
     mean = jnp.matmul(A.T, q_mu, precision=hi)  # [n, D]
     # variance as two PSD quadforms (prior-reduction + variational), each a
     # cancellation-free sum of products, instead of the indefinite
@@ -173,7 +182,12 @@ def conditional_full(kernel, Z, q_mu, q_sqrt, X, *, white: bool, jitter=None,
         proj = precompute_projection(kernel, Z, q_sqrt, white, jitter)
     hi = jax.lax.Precision.HIGHEST
     Kuf = kernel.K(Z, X)
-    A = jnp.matmul(proj.Pinv, Kuf, precision=hi)
+    # same projection split as conditional_diag: substitution solves for the
+    # non-white Kuu^{-1} application (f32 accuracy), matmul for white
+    if white:
+        A = jnp.matmul(proj.Pinv, Kuf, precision=hi)
+    else:
+        A = jsl.cho_solve((proj.Lu, True), Kuf)
     mean = jnp.matmul(A.T, q_mu, precision=hi)
     B = jnp.matmul(proj.SK, A[None], precision=hi)            # [D, M, n]
     delta = jnp.matmul(jnp.swapaxes(A[None], -1, -2), B, precision=hi)
