@@ -67,6 +67,20 @@ def use_pallas() -> bool:
     return bool(v)
 
 
+def set_pallas_max_m(value: int) -> None:
+    """Largest inducing-point count M the Pallas kernels dispatch at
+    (default 128). Round 2 measured the kernels 0.5-0.8x XLA at M=256
+    (compute-bound: the bwd tile-recompute trade stops paying) and the
+    fused kernel additionally hit a Mosaic verification bug there; the bug
+    is gone on jax 0.9.0 (round-3 retest), so this knob exists to re-measure
+    and to let large-M deployments flip the gate if their ratio differs."""
+    _STATE["pallas_max_m"] = int(value)
+
+
+def pallas_max_m() -> int:
+    return _STATE.get("pallas_max_m", 128)
+
+
 def set_default_float(dtype) -> None:
     """Set the working dtype. Enables JAX x64 mode when float64 is requested."""
     dtype = jnp.dtype(dtype)

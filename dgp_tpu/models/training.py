@@ -165,9 +165,9 @@ def _precision_signature():
     """Engines bake the MXU precision knobs in at trace time — keying the
     cache on them makes flipping config.set_quad/bwd_precision between runs
     recompile instead of silently reusing the old program."""
-    from ..config import bwd_precision, quad_precision, use_pallas
+    from ..config import bwd_precision, pallas_max_m, quad_precision, use_pallas
 
-    return (quad_precision(), bwd_precision(), use_pallas())
+    return (quad_precision(), bwd_precision(), use_pallas(), pallas_max_m())
 
 
 def engine_cache_size() -> int:

@@ -343,7 +343,10 @@ def _kernel_applicable(Sq, A):
         return False          # sub-MXU factor: jnp path is fine
     if n < 4 * TILE_N:
         return False          # tiny point count: launch overhead dominates
-    if M > 128 or D * M > 1024:
+    from ..config import pallas_max_m
+
+    max_m = pallas_max_m()
+    if M > max_m or D * M > 8 * max_m:
         return False
         # arithmetic intensity of the XLA path grows ~M (FLOPs D*M^2*n vs
         # traffic D*M*n): by M=256 the quadform is compute-bound regardless
@@ -351,7 +354,8 @@ def _kernel_applicable(Sq, A):
         # tile shrinks — measured on benchmarks/large_scale.py (M=256):
         # 35.8 steps/s at D=8 and 55.1 at D=1 vs 69.9-71.9 on the XLA path,
         # vs +13%/+19% kernel wins at M=128 (bench.py). Gate to the
-        # bandwidth-bound regime.
+        # bandwidth-bound regime (config.set_pallas_max_m to re-measure;
+        # the round-2 Mosaic M=256 verification bug is gone on jax 0.9.0).
     return True
 
 
