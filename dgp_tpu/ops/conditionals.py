@@ -120,6 +120,25 @@ def conditional_diag(kernel, Z, q_mu, q_sqrt, X, *, white: bool, jitter=None,
         proj = precompute_projection(kernel, Z, q_sqrt, white, jitter)
     hi = jax.lax.Precision.HIGHEST
     bwd = bwd_precision()
+    if white:
+        from ..config import use_pallas
+
+        Sq_rbf = jnp.swapaxes(jnp.tril(q_sqrt), -1, -2)
+        if use_pallas():
+            from .conditional_fused_rbf import (
+                fused_conditional_white_rbf,
+                rbf_fused_applicable,
+            )
+
+            if rbf_fused_applicable(kernel, Sq_rbf, X.shape[0]):
+                # deepest fusion: the RBF Kuf tiles are built in VMEM from
+                # the scaled points — no [M, S*N] Kuf/dKuf HBM round-trips
+                # at all (ops/conditional_fused_rbf.py); only the tiny
+                # elementwise lengthscale scaling stays in XLA autodiff
+                ls = kernel.lengthscales
+                return fused_conditional_white_rbf(
+                    proj.Pinv, X / ls, Z / ls, kernel.variance, q_mu,
+                    Sq_rbf)
     Kuf = kernel.K(Z, X)                       # [M, n]
     if white:
         from ..config import use_pallas
