@@ -8,8 +8,10 @@ natgrad loss guard active. Writes benchmarks/mo_seeds_results.json.
 At the short family-run schedule (200/300/800) fits are strongly
 seed-dependent (r2 0.24-0.98); at the reference's own schedule
 (--full: 2000/5000/7500, whose published trajectory stalls at ELBO
-~-1.7e8) all seeds reach final ELBO -40..-142 with r2 obj0 >= 0.84
-(three of four >= 0.988) — the schedule, not the optimizer, binds.
+~-1.7e8) with best-of-4 restarts + lengthscale init jitter
+(models/mo_dgp.py) all four seeds reach r2_obj0 = 1.0 and
+r2_obj1 >= 0.997 (full_restarts4 section of the results file);
+stream-only restarts left one bad-DoE seed at obj0 0.65-0.72.
 """
 
 import json

@@ -146,10 +146,31 @@ def bwd_precision():
     return _resolve_auto_precision(_STATE["bwd_precision"], "high")
 
 
-# NOTE (round 2): a hand-written Pallas kernel for the fused RBF conditional
-# was built, measured on v5e, and deleted. Forward-only it tied XLA (the op
-# is pure MXU matmul work XLA schedules optimally); in training it measured
-# 103.5 vs 181.3 steps/s on bench.py (its VJP re-evaluated the reference
-# forward). The real TPU levers were MXU *pass-count* control (the precision
-# knobs above) and batching the sequential per-layer Cholesky/solves — both
-# pure XLA. See README "Performance" and benchmarks/precision_probe*.py.
+def enable_compilation_cache(cache_dir: str | None = None,
+                             min_compile_secs: float = 2.0) -> str:
+    """Persist XLA compilations to disk so repeat processes skip the 1-5 min
+    TPU-tunnel compiles (first BO infill measured 28 s cold; family/bench
+    harnesses already use this). Safe to call repeatedly; returns the
+    directory used. Default location: ``~/.cache/dgp_tpu_xla``."""
+    import os
+
+    if cache_dir is None:
+        cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
+                                 "dgp_tpu_xla")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_secs))
+    return cache_dir
+
+
+# NOTE (round 2, superseded in round 3): a first fused-RBF-conditional Pallas
+# kernel was built, measured on v5e, and deleted — forward-only it tied XLA
+# and its VJP re-evaluated the reference forward (103.5 vs 181.3 steps/s).
+# The lesson (the win is in the *backward*: recompute tiles in VMEM instead
+# of streaming [M,S*N] residuals through HBM) became round 2's
+# ops/quadform_pallas.py + ops/conditional_fused.py (294-305 steps/s) and
+# round 3's ops/conditional_fused_rbf.py, which builds the stationary Kuf
+# tiles in VMEM with a hand-written chain to the scaled inputs
+# (338.5 steps/s). Pass-count control (the precision knobs above) and
+# batched Cholesky/solves remain the other two TPU levers.

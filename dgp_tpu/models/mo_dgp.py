@@ -38,6 +38,22 @@ class MODGPParams(struct.PyTreeNode):
     likelihood: Gaussian
 
 
+def _jitter_lengthscales(params, key, sigma=0.5):
+    """Log-normal multiplicative jitter on every kernel lengthscale leaf
+    (restart init diversity for ``optimize_nat_adam(restarts=k)``)."""
+    from ..ops.transforms import positive, positive_inverse
+
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for i, (path, leaf) in enumerate(leaves):
+        if path and "lengthscales_raw" in str(path[-1]):
+            eps = jax.random.normal(jax.random.fold_in(key, i),
+                                    jnp.shape(leaf), dtype=leaf.dtype)
+            leaf = positive_inverse(positive(leaf) * jnp.exp(sigma * eps))
+        out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def make_mo_kernels(Din: int, n_objectives: int, add_linear=True, dtype=None,
                     white_variance=1e-6):
     """Every layer (including the first) uses the composite coupled kernel on
@@ -364,8 +380,11 @@ class MultiObjDeepGP:
             key stream, and a minority land in poor basins that the natgrad
             loss guard cannot rescue (measured: 1 of 4 seeds at the full
             published schedule). With ``restarts=k > 1`` the schedule runs k
-            times from the same initialization with independent PRNG streams
-            and the best candidate's parameters are kept. Candidates reuse
+            times — restart 0 from the exact published init, later restarts
+            with independent PRNG streams *and* log-normal-jittered kernel
+            lengthscale inits (sigma=0.5; stream-only restarts measured
+            insufficient on bad-DoE seeds) — and the best candidate's
+            parameters are kept. Candidates reuse
             the cached compiled engines, so warm restarts cost only the step
             time (~seconds at the reference's tiny-n configs), and they are
             embarrassingly parallel in principle.
@@ -395,7 +414,13 @@ class MultiObjDeepGP:
             eval_key = jax.random.fold_in(key0, 0x5e1ec7)
             best = None
             for r in range(restarts):
-                self.params = params0
+                # restart 0 is the exact published init; later restarts
+                # jitter the kernel-lengthscale init too — varying only the
+                # MC stream leaves every candidate in the same init basin
+                # (measured: a bad-DoE seed stuck at obj0 r2 0.65-0.72
+                # across 4 streams at the full schedule)
+                self.params = (params0 if r == 0 else _jitter_lengthscales(
+                    params0, jax.random.fold_in(key0, 0xD1CE + r)))
                 self._key = jax.random.fold_in(key0, r)
                 losses = self._nat_adam_guarded(
                     lr_adam, lr_gamma, iterations1, iterations2, iterations3,

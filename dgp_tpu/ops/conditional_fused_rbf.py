@@ -1,15 +1,21 @@
-"""Fully fused whitened RBF-SVGP conditional: Kuf never touches HBM.
+"""Fully fused whitened stationary-SVGP conditional: Kuf never touches HBM.
 
 Extends ops/conditional_fused.py (which consumes a materialized [M, S*N]
-Kuf) by folding the RBF cross-kernel construction into the same Pallas pass:
-each point tile computes, entirely in VMEM,
+Kuf) by folding the stationary cross-kernel construction (RBF, Matern-3/2,
+Matern-5/2 — every stationary kernel the SO_BO spec dicts offer) into the
+same Pallas pass: each point tile computes, entirely in VMEM,
 
     sq    = max(||x||^2 + ||z||^2 - 2 z @ x, 0)     (HIGHEST cross term)
-    Kuf   = v * exp(-0.5 sq)
+    Kuf   = k(sq)            (v*exp(-sq/2) | Matern forms on r = sqrt(sq))
     A     = Pinv @ Kuf                               (HIGHEST)
     mean  = A^T q_mu,  t1 = ||A||^2
     B     = Sq @ A,    t2 = ||B||^2 per output
-    var   = max(v - t1 + t2, 0)                      (RBF: Kff == v)
+    var   = max(v - t1 + t2, 0)                      (stationary: Kff == v)
+
+The hand-written Matern cotangent chain works in sq, where the 1/r factor
+of dr/dsq cancels analytically (dk/dsq is smooth at r=0: -(3v/2)e^{-ar}
+for nu=3/2, -(5v/6)(1+ar)e^{-ar} for nu=5/2) — no _safe_dist epsilon
+needed, unlike the autodiff path (ops/kernels.py:112-116).
 
 Why: at the bench shapes (M=128, S*N=1e5, D=8) the [M, S*N] Kuf round-trips
 are the largest remaining HBM streams after the round-2 fused conditional —
@@ -53,19 +59,53 @@ def _interpret():
     return _INTERPRET or _cf._INTERPRET
 
 
-def rbf_fused_applicable(kernel, Sq, n):
-    """Plain RBF (no active_dims slicing), whitened f32, MXU-worthy shapes —
-    the same size gates as the Kuf-consuming fused kernel."""
-    from .kernels import RBF
-    from .quadform_pallas import TILE_N, _kernel_applicable
+def fused_kind(kernel, Sq, n):
+    """Static kernel-kind id (0=RBF, 1=Matern32, 2=Matern52) if the fused
+    stationary kernel applies, else None. Requires a plain full-dimension
+    stationary kernel (no active_dims slicing), whitened f32, and the same
+    MXU-worthy size gates as the Kuf-consuming fused kernel."""
+    from .kernels import RBF, Matern32, Matern52
+    from .quadform_pallas import _kernel_applicable
     from ..config import pallas_max_m
 
-    if not (type(kernel) is RBF and kernel.active_dims is None):
-        return False
+    kind = {RBF: 0, Matern32: 1, Matern52: 2}.get(type(kernel))
+    if kind is None or kernel.active_dims is not None:
+        return None
     if Sq.dtype != jnp.float32:
-        return False
+        return None
     fake_a = jax.ShapeDtypeStruct((Sq.shape[1], n), jnp.float32)
-    return _kernel_applicable(Sq, fake_a) and Sq.shape[1] <= pallas_max_m()
+    if not (_kernel_applicable(Sq, fake_a) and Sq.shape[1] <= pallas_max_m()):
+        return None
+    return kind
+
+
+def rbf_fused_applicable(kernel, Sq, n):
+    """Back-compat boolean wrapper around :func:`fused_kind`."""
+    return fused_kind(kernel, Sq, n) is not None
+
+
+def _kuf_tile(kind, v, sqd):
+    """Stationary k(sq) on scaled squared distances (Kff == v for all)."""
+    if kind == 0:
+        return v * jnp.exp(-0.5 * sqd)
+    r = jnp.sqrt(sqd)
+    if kind == 1:
+        a = 3.0 ** 0.5
+        return v * (1.0 + a * r) * jnp.exp(-a * r)
+    a = 5.0 ** 0.5
+    return v * (1.0 + a * r + (5.0 / 3.0) * sqd) * jnp.exp(-a * r)
+
+
+def _dkuf_dsq(kind, v, sqd, kuf):
+    """d kuf / d sq — the 1/(2r) of dr/dsq cancels analytically, so every
+    branch is smooth at sq == 0 (the autodiff path needs _safe_dist)."""
+    if kind == 0:
+        return -0.5 * kuf
+    r = jnp.sqrt(sqd)
+    if kind == 1:
+        return -(1.5 * v) * jnp.exp(-(3.0 ** 0.5) * r)
+    a = 5.0 ** 0.5
+    return -((5.0 / 6.0) * v) * (1.0 + a * r) * jnp.exp(-a * r)
 
 
 def _tile_n_rbf(D, M, prec=None):
@@ -88,11 +128,11 @@ def _sq_tile(zs, xs, hi):
     return jnp.maximum((xx - 2.0 * cross) + zz, 0.0)
 
 
-def _fwd_kernel(D, M, quad_prec, pinv_ref, xs_ref, zs_ref, v_ref, qmu_ref,
-                sq_ref, mean_ref, var_ref):
+def _fwd_kernel(kind, D, M, quad_prec, pinv_ref, xs_ref, zs_ref, v_ref,
+                qmu_ref, sq_ref, mean_ref, var_ref):
     hi = jax.lax.Precision.HIGHEST
     v = v_ref[0, 0]
-    kuf = v * jnp.exp(-0.5 * _sq_tile(zs_ref[:], xs_ref[:], hi))  # [M, TN]
+    kuf = _kuf_tile(kind, v, _sq_tile(zs_ref[:], xs_ref[:], hi))  # [M, TN]
     a = _dot(pinv_ref[:], kuf, ((1,), (0,)), hi)          # [M, TN]
     mean_ref[:] = _dot(qmu_ref[:], a, ((0,), (0,)), hi)   # [D, TN]
     t1 = jnp.sum(a * a, axis=0, keepdims=True)            # [1, TN]
@@ -102,8 +142,8 @@ def _fwd_kernel(D, M, quad_prec, pinv_ref, xs_ref, zs_ref, v_ref, qmu_ref,
     var_ref[:] = jnp.maximum((v - t1) + t2, 0.0)          # [D, TN]
 
 
-def _bwd_kernel(D, M, quad_prec, bwd_prec, pinv_ref, xs_ref, zs_ref, v_ref,
-                qmu_ref, sq_ref, gmean_ref, gvar_ref,
+def _bwd_kernel(kind, D, M, quad_prec, bwd_prec, pinv_ref, xs_ref, zs_ref,
+                v_ref, qmu_ref, sq_ref, gmean_ref, gvar_ref,
                 dxs_ref, dpinv_ref, dzs_ref, dv_ref, dqmu_ref, dsq_ref):
     i = pl.program_id(0)
 
@@ -120,7 +160,7 @@ def _bwd_kernel(D, M, quad_prec, bwd_prec, pinv_ref, xs_ref, zs_ref, v_ref,
     xs = xs_ref[:]
     zs = zs_ref[:]
     sqd = _sq_tile(zs, xs, hi)                            # [M, TN]
-    kuf = v * jnp.exp(-0.5 * sqd)
+    kuf = _kuf_tile(kind, v, sqd)
     # pass structure as conditional_fused._bwd_kernel: A at HIGH (1-pass A
     # drifts 1.7e-2 through the cancellation-amplified t1/mean chains), B at
     # the cotangent precision.
@@ -143,12 +183,12 @@ def _bwd_kernel(D, M, quad_prec, bwd_prec, pinv_ref, xs_ref, zs_ref, v_ref,
     dpinv_ref[:] += _dot(da, kuf, ((1,), (1,)), bwd_prec)          # [M, M]
     dqmu_ref[:] += _dot(a, gmean_ref[:], ((1,), (1,)), bwd_prec)   # [M, D]
     dsq_ref[:] += _dot(gb, a, ((1,), (1,)), bwd_prec)              # [D*M, M]
-    # RBF chain: Kuf = v exp(-sq/2), Kff = v
+    # stationary chain: Kuf = v f(sq), Kff = v
     #   dv  += sum(dkuf . kuf)/v + sum(gv)        (Kuf chain + Kff chain)
-    #   dsq  = -0.5 kuf . dkuf, masked where the sqdist clamp was active
+    #   dsq  = (dk/dsq) . dkuf, masked where the sqdist clamp was active
     # (1, 1)-shaped store: Mosaic cannot store scalars to VMEM
     dv_ref[:] += (jnp.sum(dkuf * kuf) / v + jnp.sum(gv)).reshape(1, 1)
-    dsqd = (-0.5 * kuf) * dkuf * (sqd > 0.0)              # [M, TN]
+    dsqd = _dkuf_dsq(kind, v, sqd, kuf) * dkuf * (sqd > 0.0)  # [M, TN]
     # sq = xx + zz - 2 zs @ xs
     dxx = jnp.sum(dsqd, axis=0, keepdims=True)            # [1, TN]
     dzz = jnp.sum(dsqd, axis=1, keepdims=True)            # [M, 1]
@@ -162,12 +202,12 @@ def _bwd_kernel(D, M, quad_prec, bwd_prec, pinv_ref, xs_ref, zs_ref, v_ref,
 
 
 @functools.lru_cache(maxsize=None)
-def _fwd_call(D, M, Dp, n_pad, quad_prec, interpret):
+def _fwd_call(kind, D, M, Dp, n_pad, quad_prec, interpret):
     from jax.experimental.pallas import tpu as pltpu
 
     TN = _tile_n_rbf(D, M, quad_prec)
     grid = (n_pad // TN,)
-    kernel = functools.partial(_fwd_kernel, D, M, quad_prec)
+    kernel = functools.partial(_fwd_kernel, kind, D, M, quad_prec)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -198,12 +238,12 @@ def _fwd_call(D, M, Dp, n_pad, quad_prec, interpret):
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_call(D, M, Dp, n_pad, quad_prec, bwd_prec, interpret):
+def _bwd_call(kind, D, M, Dp, n_pad, quad_prec, bwd_prec, interpret):
     from jax.experimental.pallas import tpu as pltpu
 
     TN = _tile_n_rbf(D, M, _worst(quad_prec, bwd_prec))
     grid = (n_pad // TN,)
-    kernel = functools.partial(_bwd_kernel, D, M, quad_prec, bwd_prec)
+    kernel = functools.partial(_bwd_kernel, kind, D, M, quad_prec, bwd_prec)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -246,15 +286,17 @@ def _bwd_call(D, M, Dp, n_pad, quad_prec, bwd_prec, interpret):
 # -- public op -----------------------------------------------------------------
 
 
-@jax.custom_vjp
-def fused_conditional_white_rbf(Pinv, Xs, Zs, variance, q_mu, Sq):
-    """(mean [n, D], var [n, D]) of the whitened RBF-SVGP conditional.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_conditional_white_stationary(kind, Pinv, Xs, Zs, variance, q_mu,
+                                       Sq):
+    """(mean [n, D], var [n, D]) of the whitened stationary-SVGP conditional.
 
+    :param kind: static kernel id from :func:`fused_kind`
     :param Xs: points / lengthscales, [n, Din]
     :param Zs: inducing inputs / lengthscales, [M, Din]
-    :param variance: RBF variance scalar (Kff == variance)
+    :param variance: kernel variance scalar (Kff == variance)
     """
-    return _fused_fwd(Pinv, Xs, Zs, variance, q_mu, Sq)
+    return _fused_fwd(kind, Pinv, Xs, Zs, variance, q_mu, Sq)
 
 
 def _prep(Xs, Zs, tn):
@@ -264,24 +306,24 @@ def _prep(Xs, Zs, tn):
     return XsT, Zs, n
 
 
-def _fused_fwd(Pinv, Xs, Zs, variance, q_mu, Sq):
+def _fused_fwd(kind, Pinv, Xs, Zs, variance, q_mu, Sq):
     D, M = Sq.shape[0], Sq.shape[1]
     Dp = Xs.shape[1]
     tn = _tile_n_rbf(D, M, quad_precision())
     XsT, _, n = _prep(Xs, Zs, tn)
     v = jnp.asarray(variance, jnp.float32).reshape(1, 1)
-    meanT, varT = _fwd_call(D, M, Dp, XsT.shape[-1], quad_precision(),
+    meanT, varT = _fwd_call(kind, D, M, Dp, XsT.shape[-1], quad_precision(),
                             _interpret())(Pinv, XsT, Zs, v, q_mu,
                                           Sq.reshape(D * M, M))
     return meanT[:, :n].T, varT[:, :n].T
 
 
-def _fused_vjp_fwd(Pinv, Xs, Zs, variance, q_mu, Sq):
-    out = _fused_fwd(Pinv, Xs, Zs, variance, q_mu, Sq)
+def _fused_vjp_fwd(kind, Pinv, Xs, Zs, variance, q_mu, Sq):
+    out = _fused_fwd(kind, Pinv, Xs, Zs, variance, q_mu, Sq)
     return out, (Pinv, Xs, Zs, variance, q_mu, Sq)
 
 
-def _fused_vjp_bwd(res, gs):
+def _fused_vjp_bwd(kind, res, gs):
     Pinv, Xs, Zs, variance, q_mu, Sq = res
     g_mean, g_var = gs
     D, M = Sq.shape[0], Sq.shape[1]
@@ -292,11 +334,17 @@ def _fused_vjp_bwd(res, gs):
     g_meanT, _ = _pad_n(g_mean.T, tn)
     g_varT, _ = _pad_n(g_var.T, tn)
     dXsT, dPinv, dZs, dv, dq_mu, dSq = _bwd_call(
-        D, M, Dp, XsT.shape[-1], quad_precision(), bwd_precision(),
+        kind, D, M, Dp, XsT.shape[-1], quad_precision(), bwd_precision(),
         _interpret())(Pinv, XsT, Zs, v, q_mu, Sq.reshape(D * M, M),
                       g_meanT, g_varT)
     dvar = jnp.asarray(dv[0, 0], dtype=jnp.result_type(variance))
     return (dPinv, dXsT[:, :n].T, dZs, dvar, dq_mu, dSq.reshape(D, M, M))
 
 
-fused_conditional_white_rbf.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+fused_conditional_white_stationary.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+
+def fused_conditional_white_rbf(Pinv, Xs, Zs, variance, q_mu, Sq):
+    """Back-compat RBF entry point (kind 0)."""
+    return fused_conditional_white_stationary(0, Pinv, Xs, Zs, variance,
+                                              q_mu, Sq)

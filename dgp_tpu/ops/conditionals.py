@@ -123,22 +123,24 @@ def conditional_diag(kernel, Z, q_mu, q_sqrt, X, *, white: bool, jitter=None,
     if white:
         from ..config import use_pallas
 
-        Sq_rbf = jnp.swapaxes(jnp.tril(q_sqrt), -1, -2)
+        Sq_st = jnp.swapaxes(jnp.tril(q_sqrt), -1, -2)
         if use_pallas():
             from .conditional_fused_rbf import (
-                fused_conditional_white_rbf,
-                rbf_fused_applicable,
+                fused_conditional_white_stationary,
+                fused_kind,
             )
 
-            if rbf_fused_applicable(kernel, Sq_rbf, X.shape[0]):
-                # deepest fusion: the RBF Kuf tiles are built in VMEM from
-                # the scaled points — no [M, S*N] Kuf/dKuf HBM round-trips
-                # at all (ops/conditional_fused_rbf.py); only the tiny
-                # elementwise lengthscale scaling stays in XLA autodiff
+            kind = fused_kind(kernel, Sq_st, X.shape[0])
+            if kind is not None:
+                # deepest fusion: the stationary Kuf tiles are built in VMEM
+                # from the scaled points — no [M, S*N] Kuf/dKuf HBM
+                # round-trips at all (ops/conditional_fused_rbf.py); only
+                # the tiny elementwise lengthscale scaling stays in XLA
+                # autodiff
                 ls = kernel.lengthscales
-                return fused_conditional_white_rbf(
-                    proj.Pinv, X / ls, Z / ls, kernel.variance, q_mu,
-                    Sq_rbf)
+                return fused_conditional_white_stationary(
+                    kind, proj.Pinv, X / ls, Z / ls, kernel.variance, q_mu,
+                    Sq_st)
     Kuf = kernel.K(Z, X)                       # [M, n]
     if white:
         from ..config import use_pallas

@@ -19,15 +19,15 @@ def _interpret(monkeypatch):
     monkeypatch.setattr(cfr, "_INTERPRET", True)
 
 
-def _problem(D, M, n, Din, seed=0):
+def _problem(D, M, n, Din, seed=0, cls=K.RBF):
     rng = np.random.default_rng(seed)
     Z = jnp.asarray(rng.uniform(size=(M, Din)), jnp.float32)
     X = jnp.asarray(rng.uniform(size=(n, Din)), jnp.float32)
     q_mu = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
     q_sqrt = jnp.asarray(
         np.tril(rng.normal(size=(D, M, M)) * 0.05 + np.eye(M)), jnp.float32)
-    kern = K.RBF.create(variance=1.3, lengthscales=[0.5] * Din,
-                        dtype=jnp.float32)
+    kern = cls.create(variance=1.3, lengthscales=[0.5] * Din,
+                      dtype=jnp.float32)
     return kern, Z, X, q_mu, q_sqrt
 
 
@@ -45,26 +45,33 @@ def _paths(kern, Z, X, q_mu, q_sqrt):
     return (m0, v0), (m1, v1)
 
 
+@pytest.mark.parametrize("cls", [K.RBF, K.Matern32, K.Matern52])
 @pytest.mark.parametrize("D,M,n,Din", [(2, 64, 4400, 2), (1, 128, 4096, 8)])
-def test_forward_matches_jnp_path(D, M, n, Din):
-    kern, Z, X, q_mu, q_sqrt = _problem(D, M, n, Din)
-    assert cfr.rbf_fused_applicable(
-        kern, jnp.swapaxes(q_sqrt, -1, -2), n)
+def test_forward_matches_jnp_path(D, M, n, Din, cls):
+    kern, Z, X, q_mu, q_sqrt = _problem(D, M, n, Din, cls=cls)
+    assert cfr.fused_kind(
+        kern, jnp.swapaxes(q_sqrt, -1, -2), n) is not None
     (m0, v0), (m1, v1) = _paths(kern, Z, X, q_mu, q_sqrt)
-    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
-                               rtol=1e-4, atol=1e-4)
+    # magnitude-scaled atol: the kernel's _dot emulates MXU bf16 hi/lo
+    # passes even under the CPU interpreter while the jnp path runs true
+    # f32 dots, leaving a few-1e-4 absolute drift on near-zero means (the
+    # Matern sqrt/exp chain accumulates slightly more than RBF's exp)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), rtol=1e-3,
+                               atol=1e-4 * float(jnp.max(jnp.abs(m0))))
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), rtol=1e-3,
                                atol=1e-3 * float(jnp.max(v0)))
 
 
-def test_gradients_match_jnp_path():
+@pytest.mark.parametrize("cls", [K.RBF, K.Matern52])
+def test_gradients_match_jnp_path(cls):
     """End-to-end cotangents through conditional_diag — including the
-    lengthscale / variance / Z chains the kernel now owns in-tile."""
+    lengthscale / variance / Z chains the kernel now owns in-tile (and the
+    hand-derived smooth Matern d/dsq chain)."""
     from dgp_tpu import config
     from dgp_tpu.ops.conditionals import conditional_diag
 
     D, M, n, Din = 2, 64, 4400, 3  # n not a tile multiple; odd Din
-    kern, Z, X, q_mu, q_sqrt = _problem(D, M, n, Din, seed=3)
+    kern, Z, X, q_mu, q_sqrt = _problem(D, M, n, Din, seed=3, cls=cls)
     rng = np.random.default_rng(1)
     wm = jnp.asarray(rng.normal(size=(n, D)), jnp.float32)
     wv = jnp.asarray(rng.normal(size=(n, D)), jnp.float32)
@@ -98,12 +105,21 @@ def test_gating():
     Sq = jnp.zeros((2, 64, 64), jnp.float32)
     n = 8192
     rbf = K.RBF.create(lengthscales=[1.0, 1.0], dtype=jnp.float32)
-    assert cfr.rbf_fused_applicable(rbf, Sq, n)
+    assert cfr.fused_kind(rbf, Sq, n) == 0
+    assert cfr.fused_kind(
+        K.Matern32.create(lengthscales=[1.0, 1.0], dtype=jnp.float32),
+        Sq, n) == 1
+    assert cfr.fused_kind(
+        K.Matern52.create(lengthscales=[1.0, 1.0], dtype=jnp.float32),
+        Sq, n) == 2
     # active_dims, composite kernels, f64, tiny n: jnp/Kuf-kernel fallback
     sliced = K.RBF.create(lengthscales=[1.0], active_dims=[0],
                           dtype=jnp.float32)
-    assert not cfr.rbf_fused_applicable(sliced, Sq, n)
+    assert cfr.fused_kind(sliced, Sq, n) is None
     comp = rbf + K.White.create(variance=1e-6, dtype=jnp.float32)
+    assert cfr.fused_kind(comp, Sq, n) is None
+    assert cfr.fused_kind(rbf, Sq.astype(jnp.float64), n) is None
+    assert cfr.fused_kind(rbf, Sq, 100) is None
+    # back-compat boolean wrapper
+    assert cfr.rbf_fused_applicable(rbf, Sq, n)
     assert not cfr.rbf_fused_applicable(comp, Sq, n)
-    assert not cfr.rbf_fused_applicable(rbf, Sq.astype(jnp.float64), n)
-    assert not cfr.rbf_fused_applicable(rbf, Sq, 100)

@@ -193,3 +193,36 @@ def test_best_of_k_restarts():
     import pytest
     with pytest.raises(ValueError):
         mk._restart_score("nope", jax.random.PRNGKey(7))
+
+
+def test_restart_init_jitter():
+    """Restarts > 0 jitter only the kernel lengthscale leaves: same treedef
+    and shapes, non-lengthscale leaves bit-identical, jitter deterministic
+    in the key."""
+    from dgp_tpu.models.mo_dgp import _jitter_lengthscales
+
+    rng = np.random.default_rng(5)
+    X = rng.uniform(0, 1, (10, 1))
+    Y = [np.sin(3 * X), np.cos(2 * X)]
+    m = MultiObjDeepGP([X, X.copy()], Y, loop=1, num_samples=2, seed=2)
+    key = jax.random.PRNGKey(11)
+    p0, p1 = m.params, _jitter_lengthscales(m.params, key)
+
+    paths0 = jax.tree_util.tree_flatten_with_path(p0)[0]
+    paths1, treedef1 = jax.tree_util.tree_flatten_with_path(p1)
+    assert treedef1 == jax.tree_util.tree_flatten_with_path(p0)[1]
+    n_changed = 0
+    for (path, a), (_, b) in zip(paths0, paths1):
+        assert a.shape == b.shape and a.dtype == b.dtype
+        if "lengthscales_raw" in str(path[-1]):
+            assert not np.allclose(np.asarray(a), np.asarray(b))
+            assert np.all(np.isfinite(np.asarray(b)))
+            n_changed += 1
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert n_changed > 0
+    # deterministic in the key
+    p1b = _jitter_lengthscales(m.params, key)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p1b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

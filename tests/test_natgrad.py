@@ -161,3 +161,52 @@ def test_loss_guard_rejects_catastrophic_overshoot():
     # while a sane follow-up step from the same point is accepted
     q_mu3, _ = step(q_mu1, q_sqrt1, 0.5)
     assert not np.allclose(np.asarray(q_mu3), np.asarray(q_mu1))
+
+
+def test_loss_guard_margin_and_retry():
+    """Pin the guard's acceptance margin (100x|loss|+1e4) and the gamma/10
+    one-rung retry with synthetic losses whose worsening we control exactly.
+    These margins are load-bearing for the MO-DGP evidence runs
+    (natgrad.py:146-172): exploratory few-10x spikes must pass, ~1e6x
+    pathologies must freeze q, and an overlong step whose tenth-size version
+    is sane must land on the retry, not the freeze."""
+    from dgp_tpu.variational.natgrad import natgrad_step_multi
+
+    M = 4
+    q_mu0 = jnp.full((M, 1), 0.5)
+    q_sqrt0 = jnp.tile(jnp.eye(M)[None], (1, 1, 1))
+    base = 50.0
+
+    def make_loss(mult_when_moved, thresh=1e-8):
+        # base at the start point; base*mult once q moves farther than
+        # thresh; linear drive term so the natgrad direction is nonzero
+        def loss(qs):
+            m, L = qs[0]
+            d = jnp.sum((m - q_mu0) ** 2) + jnp.sum((L - jnp.tril(q_sqrt0)) ** 2)
+            worsen = jnp.where(d > thresh, base * (mult_when_moved - 1.0), 0.0)
+            return base + worsen + 0.1 * jnp.sum(m)
+        return loss
+
+    def run(mult, gamma=0.1, thresh=1e-8):
+        (res,) = natgrad_step_multi([(q_mu0, q_sqrt0)], make_loss(mult, thresh),
+                                    gamma, guard_loss=True)
+        return res
+
+    moved = lambda res: not np.allclose(np.asarray(res[0]), np.asarray(q_mu0))
+
+    # a 50x same-key worsening is inside the margin -> accepted
+    assert moved(run(50.0))
+    # a 1e6x worsening rejects the full step AND its gamma/10 retry -> frozen
+    res = run(1e6)
+    np.testing.assert_allclose(np.asarray(res[0]), np.asarray(q_mu0))
+    np.testing.assert_allclose(np.asarray(res[1]),
+                               np.asarray(jnp.tril(q_sqrt0)))
+    # catastrophic only beyond a displacement the gamma/10 step stays under
+    # -> the retry is accepted (parameters move, but ~10x less than gamma
+    # would have moved them)
+    full = np.asarray(run(50.0, gamma=0.1)[0])  # unguarded-size reference
+    d_full = float(np.sum((full - np.asarray(q_mu0)) ** 2))
+    res = run(1e6, gamma=0.1, thresh=d_full * 0.25)
+    assert moved(res)
+    d_retry = float(np.sum((np.asarray(res[0]) - np.asarray(q_mu0)) ** 2))
+    assert 0 < d_retry < d_full * 0.25
