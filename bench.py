@@ -88,21 +88,31 @@ def bench_dgp_tpu():
     scope = precision_scope(bwd="default")
     scope.__enter__()
 
-    @jax.jit
-    def step(params, opt_state, key):
+    def step(carry, _):
+        params, opt_state, key = carry
         key, sub = jax.random.split(key)
         loss, grads = jax.value_and_grad(lambda p: -elbo(p, Xj, Yj, sub, S))(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, key, loss
+        return (params, opt_state, key), loss
 
-    params, opt_state, key = model.params, opt.init(model.params), jax.random.PRNGKey(0)
-    for _ in range(WARMUP):
-        params, opt_state, key, loss = step(params, opt_state, key)
+    # the trainers run their steps inside one jitted lax.scan engine
+    # (models/training.adam_run), so that is the step measured here
+    # (measured equivalent to a python loop of per-step jit calls — async
+    # dispatch pipelines — but this matches what training actually runs)
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run(carry, n):
+        carry, losses = jax.lax.scan(step, carry, None, length=n)
+        return carry, losses[-1]
+
+    carry = (model.params, opt.init(model.params), jax.random.PRNGKey(0))
+    carry, loss = run(carry, WARMUP)        # compile (separate n)
+    carry, loss = run(carry, STEPS)         # compile the timed engine + warm
     jax.block_until_ready(loss)
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        params, opt_state, key, loss = step(params, opt_state, key)
+    carry, loss = run(carry, STEPS)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
     scope.__exit__(None, None, None)
