@@ -29,6 +29,15 @@ def main():
     ap.add_argument("--train-iterations", type=int, default=200)
     ap.add_argument("--popsize", type=int, default=50)
     ap.add_argument("--de-iterations", type=int, default=50)
+    ap.add_argument("--cache", action="store_true",
+                    help="persist XLA compilations across processes "
+                         "(config.enable_compilation_cache). MEASURED "
+                         "NEGATIVE on the axon TPU tunnel: a warm-cache "
+                         "process's first infill took 173-195 s vs 51-53 s "
+                         "cold (3x WORSE — the cache hit/deserialization "
+                         "path over the tunnel costs more than the "
+                         "recompile), so the flag stays opt-in and is not "
+                         "recommended on tunneled backends")
     args = ap.parse_args()
 
     import jax
@@ -36,6 +45,12 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
+    if args.cache:
+        from dgp_tpu.config import enable_compilation_cache
+
+        cache_dir = enable_compilation_cache(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"))
+        print(f"compile cache: {os.path.normpath(cache_dir)}", flush=True)
 
     import numpy as np
 

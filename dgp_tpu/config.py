@@ -148,10 +148,13 @@ def bwd_precision():
 
 def enable_compilation_cache(cache_dir: str | None = None,
                              min_compile_secs: float = 2.0) -> str:
-    """Persist XLA compilations to disk so repeat processes skip the 1-5 min
-    TPU-tunnel compiles (first BO infill measured 28 s cold; family/bench
-    harnesses already use this). Safe to call repeatedly; returns the
-    directory used. Default location: ``~/.cache/dgp_tpu_xla``."""
+    """Persist XLA compilations to disk so repeat processes can reuse them.
+    Opt-in: measured on the axon TPU *tunnel* the cache-hit path is ~3x
+    SLOWER than recompiling (BO first infill 173-195 s warm-cache vs
+    51-53 s cold — benchmarks/bo_latency.py --cache), so only enable it on
+    backends where retrieval is cheap (local CPU/TPU runtimes). Safe to
+    call repeatedly; returns the directory used. Default location:
+    ``~/.cache/dgp_tpu_xla``."""
     import os
 
     if cache_dir is None:

@@ -101,6 +101,23 @@ def test_gradients_match_jnp_path(cls):
                                    rtol=2e-2, atol=2e-2 * scale)
 
 
+@pytest.mark.parametrize("D,M,n,Din", [
+    (1, 64, 4100, 1),    # minimal output/input dims, n just over the gate
+    (3, 64, 4400, 5),    # odd D and Din
+    (8, 128, 4097, 8),   # bench-like dims, n = gate + 1 (max padding)
+])
+def test_forward_edge_shapes(D, M, n, Din):
+    """Padding/tiling edges: non-tile-multiple n, D=1, odd Din (the size
+    gate requires n >= 4*TILE_N = 4096, so all shapes sit just above it)."""
+    kern, Z, X, q_mu, q_sqrt = _problem(D, M, n, Din, seed=7)
+    assert cfr.fused_kind(kern, jnp.swapaxes(q_sqrt, -1, -2), n) is not None
+    (m0, v0), (m1, v1) = _paths(kern, Z, X, q_mu, q_sqrt)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), rtol=1e-3,
+                               atol=1e-4 * float(jnp.max(jnp.abs(m0))))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), rtol=1e-3,
+                               atol=1e-3 * float(jnp.max(v0)))
+
+
 def test_gating():
     Sq = jnp.zeros((2, 64, 64), jnp.float32)
     n = 8192
