@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import List, Optional, Tuple
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -422,16 +423,29 @@ class MultiObjDeepGP:
                 self.params = (params0 if r == 0 else _jitter_lengthscales(
                     params0, jax.random.fold_in(key0, 0xD1CE + r)))
                 self._key = jax.random.fold_in(key0, r)
+                # per-restart checkpoint path: sharing one path would leave
+                # the LAST restart's mid-schedule state on disk, not the
+                # selected candidate (the final save below fixes the latter)
+                ckpt_r = (None if checkpoint_path is None
+                          else f"{checkpoint_path}.r{r}")
                 losses = self._nat_adam_guarded(
                     lr_adam, lr_gamma, iterations1, iterations2, iterations3,
                     messages, q_sqrt_scale, train_upto_objective,
-                    checkpoint_path, checkpoint_every, _qs_accessors)
+                    ckpt_r, checkpoint_every, _qs_accessors)
                 score = self._restart_score(restart_select, eval_key)
                 if messages:
                     print(f"restart {r}: score={score:.4f}")
-                if best is None or score > best[0]:
+                # a NaN score must never win (NaN comparisons are False both
+                # ways, so a diverged restart 0 would otherwise be kept
+                # forever); a finite score always beats a non-finite best
+                better = best is None or (
+                    math.isfinite(score)
+                    and (not math.isfinite(best[0]) or score > best[0]))
+                if better:
                     best = (score, self.params, self._key, losses)
             _, self.params, self._key, losses = best
+            if checkpoint_path is not None:
+                training.make_checkpoint_fn(checkpoint_path)(self.params, -1)
             return losses
 
     def _restart_score(self, criterion, eval_key):

@@ -120,17 +120,17 @@ def conditional_diag(kernel, Z, q_mu, q_sqrt, X, *, white: bool, jitter=None,
         proj = precompute_projection(kernel, Z, q_sqrt, white, jitter)
     hi = jax.lax.Precision.HIGHEST
     bwd = bwd_precision()
+    Sq = jnp.swapaxes(jnp.tril(q_sqrt), -1, -2)  # [D, M, M]
     if white:
         from ..config import use_pallas
 
-        Sq_st = jnp.swapaxes(jnp.tril(q_sqrt), -1, -2)
         if use_pallas():
             from .conditional_fused_rbf import (
                 fused_conditional_white_stationary,
                 fused_kind,
             )
 
-            kind = fused_kind(kernel, Sq_st, X.shape[0])
+            kind = fused_kind(kernel, Sq, X.shape[0])
             if kind is not None:
                 # deepest fusion: the stationary Kuf tiles are built in VMEM
                 # from the scaled points — no [M, S*N] Kuf/dKuf HBM
@@ -140,21 +140,20 @@ def conditional_diag(kernel, Z, q_mu, q_sqrt, X, *, white: bool, jitter=None,
                 ls = kernel.lengthscales
                 return fused_conditional_white_stationary(
                     kind, proj.Pinv, X / ls, Z / ls, kernel.variance, q_mu,
-                    Sq_st)
+                    Sq)
     Kuf = kernel.K(Z, X)                       # [M, n]
     if white:
         from ..config import use_pallas
         from .conditional_fused import fused_applicable
 
-        Sq_w = jnp.swapaxes(jnp.tril(q_sqrt), -1, -2)
-        if use_pallas() and fused_applicable(Sq_w, Kuf):
+        if use_pallas() and fused_applicable(Sq, Kuf):
             # fully fused whitened conditional: A/mean/t1/t2/var in one
             # Pallas pass, hand-written VJP — A and B never reach HBM
             # (ops/conditional_fused.py)
             from .conditional_fused import fused_conditional_white
 
             Kff = kernel.K_diag(X)
-            return fused_conditional_white(proj.Pinv, Kuf, q_mu, Sq_w, Kff)
+            return fused_conditional_white(proj.Pinv, Kuf, q_mu, Sq, Kff)
     # A (white) = Lu^{-1} Kuf: MXU matmul against the precomputed triangular
     # inverse instead of a wide triangular solve. Forward must be HIGHEST
     # (||A||^2 cancels against Kff below); the cotangent matmuls only feed
@@ -175,7 +174,6 @@ def conditional_diag(kernel, Z, q_mu, q_sqrt, X, *, white: bool, jitter=None,
     # A^T (SS^T - C) A form — same FLOPs, much better f32 conditioning:
     #   white:      var = Kff - ||A||^2        + ||q_sqrt^T A||^2
     #   non-white:  var = Kff - sum(Kuf * A)   + ||q_sqrt^T A||^2
-    Sq = jnp.swapaxes(jnp.tril(q_sqrt), -1, -2)  # [D, M, M]
     # t2 is a positive sum of squares (no cancellation): its forward matmul
     # runs at the configured quadform precision — the FLOP-dominant
     # contraction of the whole model (D outputs x M^2 x S*N). On f32 TPU at

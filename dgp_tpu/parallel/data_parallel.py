@@ -310,10 +310,7 @@ def sharded_dgp_minibatch_loss(mesh: Mesh, num_samples: int, batch_size: int,
             k_prop = jax.random.fold_in(
                 k_prop, jax.lax.axis_index(sample_axis)
             )
-        n_local = jnp.sum(w).astype(jnp.int32)
-        idx = jax.random.randint(
-            k_draw, (b_local,), 0, jnp.maximum(n_local, 1)
-        )
+        idx, n_local = _local_draw(k_draw, w, b_local)
         Fmean, Fvar = predict_f(params, X[idx], k_prop, s_local)
         var_exp = params.likelihood.variational_expectations(
             Fmean, Fvar, Y[idx]

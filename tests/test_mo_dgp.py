@@ -195,6 +195,48 @@ def test_best_of_k_restarts():
         mk._restart_score("nope", jax.random.PRNGKey(7))
 
 
+def test_restart_nan_score_never_wins(monkeypatch):
+    """A diverged restart whose score is NaN must not be kept (NaN compares
+    False both ways, so `score > best` would freeze a NaN restart 0 as the
+    winner forever), and the final checkpoint must hold the SELECTED
+    candidate, not the last restart's mid-schedule state."""
+    import os
+    import tempfile
+
+    from dgp_tpu.models.mo_dgp import MultiObjDeepGP
+    from dgp_tpu.utils import checkpoint as ckpt
+
+    rng = np.random.default_rng(5)
+    X = rng.uniform(0, 1, (10, 1))
+    Y = [np.sin(3 * X), np.cos(2 * X)]
+    m = MultiObjDeepGP([X, X.copy()], Y, loop=1, num_samples=2, seed=2)
+
+    scores = iter([float("nan"), -0.37, -1.2])
+    seen = []
+
+    def fake_score(self, criterion, eval_key):
+        s = next(scores)
+        seen.append((s, self.params))
+        return s
+
+    monkeypatch.setattr(MultiObjDeepGP, "_restart_score", fake_score)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "mo.ckpt")
+        m.optimize_nat_adam(iterations1=2, iterations2=2, iterations3=4,
+                            messages=0, restarts=3, checkpoint_path=path,
+                            checkpoint_every=2)
+        # the finite -0.37 candidate (restart 1) wins over NaN and -1.2
+        want = seen[1][1]
+        for a, b in zip(jax.tree_util.tree_leaves(m.params),
+                        jax.tree_util.tree_leaves(want)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # final checkpoint == selected params (not restart 2's last state)
+        loaded = ckpt.load(path, like=m.params)
+        for a, b in zip(jax.tree_util.tree_leaves(loaded),
+                        jax.tree_util.tree_leaves(m.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_restart_init_jitter():
     """Restarts > 0 jitter only the kernel lengthscale leaves: same treedef
     and shapes, non-lengthscale leaves bit-identical, jitter deterministic
