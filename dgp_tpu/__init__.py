@@ -34,6 +34,8 @@ def __getattr__(name):
         "SO_BO": ("dgp_tpu.bo.so_bo", "SO_BO"),
         "kernels": ("dgp_tpu.ops.kernels", None),
         "likelihoods": ("dgp_tpu.ops.likelihoods", None),
+        "summary": ("dgp_tpu.utils.monitor", "summary"),
+        "parallel": ("dgp_tpu.parallel", None),
     }
     if name in _exports:
         import importlib
