@@ -32,6 +32,7 @@ def __getattr__(name):
             "dgp_tpu.models.mf_dgp_em", "MultiFidelityDeepGP_EM"),
         "MultiObjDeepGP": ("dgp_tpu.models.mo_dgp", "MultiObjDeepGP"),
         "SO_BO": ("dgp_tpu.bo.so_bo", "SO_BO"),
+        "MO_BO": ("dgp_tpu.bo.mo_bo", "MO_BO"),
         "kernels": ("dgp_tpu.ops.kernels", None),
         "likelihoods": ("dgp_tpu.ops.likelihoods", None),
         "summary": ("dgp_tpu.utils.monitor", "summary"),

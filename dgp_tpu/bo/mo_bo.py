@@ -1,0 +1,196 @@
+"""Multi-objective Bayesian optimization driver (MO-DGP + EHVI).
+
+The reference runs this workflow only as loose notebook cells
+(/root/reference/Notebooks_dgp/nb_modgp.ipynb cells 19-33: train MO-DGP,
+build the padded non-dominated front, maximize EHVI, evaluate, append,
+retrain) — there is no driver class like ``SO_BO``. ``MO_BO`` is that
+missing sibling, with SO_BO's conventions: LHS DoE, input/output
+normalization, a persistent PRNG stream across ``run()`` calls, and
+save/load checkpointing of the whole loop.
+
+Per infill the surrogate is rebuilt and retrained from scratch exactly as
+the notebook does (each iteration constructs a fresh ``MultiObjDeepGP``);
+``restarts > 1`` turns on the best-of-k multi-start that rescues the
+chaotic landscape's bad basins (models/mo_dgp.py).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..models.mo_dgp import MultiObjDeepGP
+from .doe import lhs
+from .ehvi import HV_calcul, NDC, Y_ND, optimize_EHVI
+
+
+class MO_BO:
+    """Bi-objective minimization over [0, 1]^d with EHVI infill.
+
+    :param problem: a ``bo.problems.MOProblem`` (``dim``, ``bounds`` =
+        (ideal1, ideal2, nadir1, nadir2) hypervolume reference box,
+        ``fun(x) -> [f1, f2]``).
+    :param model_dic: {'loop': 2, 'num_samples': 5,
+        'schedule': (it1, it2, it3), 'restarts': 1} — MO-DGP architecture +
+        training schedule per infill (defaults shown; schedule defaults to
+        the validated fast loop (100, 0, 0), pass the published
+        (2000, 5000, 7500) for full-quality surrogates).
+    :param X, F: optional known DoE — X [n, d] and F a list of two [n, 1]
+        objective columns; otherwise an LHS DoE of ``DoE_size`` points is
+        generated and evaluated.
+    """
+
+    def __init__(self, problem=None, X=None, F=None, DoE_size=None,
+                 model_dic: Optional[dict] = None,
+                 seed: Optional[int] = None):
+        if problem is None:
+            raise ValueError("You have to specify a problem to optimize")
+        self.problem = problem
+        self.d = problem.dim
+        self.model_dic = dict(model_dic or {})
+        self._seed = seed
+
+        if X is None:
+            if DoE_size is None:
+                raise ValueError(
+                    "You have to specify either a size to generate a DoE or "
+                    "a known DoE (X, F)")
+            X = lhs(self.d, DoE_size, seed=seed)
+            F = self._evaluate(X)
+        else:
+            X = np.array(X, copy=True)
+            F = [np.array(f, copy=True).reshape(-1, 1) for f in F]
+        self.X = X
+        self.F = F
+        # feasibility column for the reference's filtered non-dominated sort
+        # (NDC); the registry problems are unconstrained, so all rows pass
+        self.C = -np.ones((len(X), 1))
+
+        self.hv_trace: List[float] = [self._hv()]
+        self.added_points: List[np.ndarray] = []
+        import jax
+
+        self._run_key = jax.random.PRNGKey(seed or 0)
+        self._iteration = 0
+
+    # -- helpers ----------------------------------------------------------------
+    def _evaluate(self, X):
+        rows = [self.problem.fun(x) for x in X]
+        return [np.asarray([np.reshape(r[i], ()) for r in rows],
+                           dtype=float).reshape(-1, 1) for i in (0, 1)]
+
+    def _next_run_key(self):
+        import jax
+
+        self._run_key, sub = jax.random.split(self._run_key)
+        return sub
+
+    def _hv(self):
+        return HV_calcul(NDC(self.F, self.C), self.F, self.problem.bounds)
+
+    def pareto(self):
+        """(X_nd, F_nd) — the current feasible non-dominated set."""
+        nd = NDC(self.F, self.C)
+        F = np.hstack(self.F)
+        return self.X[nd], F[nd]
+
+    def _normalized(self):
+        Xn = (self.X - self.X.mean(0)) / self.X.std(0)
+        Fn = [(f - f.mean(0)) / f.std(0) for f in self.F]
+        return Xn, Fn
+
+    def make_model(self, Xn, Fn, seed):
+        return MultiObjDeepGP(
+            [Xn, Xn.copy()], Fn,
+            loop=int(self.model_dic.get("loop", 2)),
+            num_samples=int(self.model_dic.get("num_samples", 5)),
+            seed=seed)
+
+    # -- the loop ---------------------------------------------------------------
+    def run(self, iterations=1, approximation="None", S=200, method="DE",
+            popsize_DE=60, iterations_DE=60, iterations_adam=100,
+            verbose=True):
+        """``iterations`` EHVI infills; returns the hypervolume trace
+        (including the initial DoE hypervolume at index 0).
+
+        :param approximation: EHVI estimator — "None" (exact 2-D),
+            "Gaussian", or "KDE" (bo/ehvi.py).
+        """
+        import jax
+
+        sched = self.model_dic.get("schedule", (100, 0, 0))
+        restarts = int(self.model_dic.get("restarts", 1))
+        for _ in range(iterations):
+            it = self._iteration
+            Xn, Fn = self._normalized()
+            model = self.make_model(Xn, Fn, seed=it)
+            model.optimize_nat_adam(
+                iterations1=sched[0], iterations2=sched[1],
+                iterations3=sched[2], messages=0, restarts=restarts)
+
+            # padded descending front in normalized objective space, with
+            # the problem's hypervolume box mapped through the same
+            # normalization (nb_modgp cell 26 workflow)
+            NDT = NDC(self.F, self.C, obj1_ascending=False)
+            b = self.problem.bounds
+            f0, f1 = self.F
+            nadir = (float((b[2] - f0.mean()) / f0.std()),
+                     float((b[3] - f1.mean()) / f1.std()))
+            ideal = (float((b[0] - f0.mean()) / f0.std()),
+                     float((b[1] - f1.mean()) / f1.std()))
+            YND = Y_ND(Fn, NDT, nadir=nadir, ideal=ideal)
+
+            x_opt_n = optimize_EHVI(
+                model, YND, method=method, popsize_DE=popsize_DE,
+                iterations_DE=iterations_DE,
+                iterations_adam=iterations_adam,
+                approximation=approximation, S=S,
+                key=self._next_run_key())
+            x_new = self.X.std(0) * x_opt_n + self.X.mean(0)
+            x_new = np.clip(x_new, 0.0, 1.0)
+            f_new = self._evaluate(x_new)
+
+            self.X = np.vstack([self.X, x_new])
+            self.F = [np.vstack([self.F[i], f_new[i]]) for i in (0, 1)]
+            self.C = np.vstack([self.C, [[-1.0]]])
+            self.added_points.append(x_new)
+            self.hv_trace.append(self._hv())
+            self._iteration += 1
+            if verbose:
+                print(f"infill {it}: x={np.round(x_new.ravel(), 4)} "
+                      f"f=({f_new[0].item():.4f}, {f_new[1].item():.4f}) "
+                      f"HV={self.hv_trace[-1]:.5f}", flush=True)
+        return list(self.hv_trace)
+
+    # -- checkpoint / resume -----------------------------------------------------
+    def save(self, path: str):
+        """One .npz with the data archive, HV trace and PRNG stream. The
+        surrogate retrains from scratch every infill (notebook semantics),
+        so the data + stream position reproduce the continuation exactly."""
+        import os
+
+        state = {
+            "X": self.X, "F0": self.F[0], "F1": self.F[1], "C": self.C,
+            "hv_trace": np.asarray(self.hv_trace, dtype=float),
+            "run_key": np.asarray(self._run_key),
+            "seed": np.asarray(self._seed if self._seed is not None else -1),
+            "iteration": np.asarray(self._iteration),
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **state)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str, problem, model_dic=None):
+        import jax
+
+        data = np.load(path)
+        seed = int(data["seed"])
+        bo = cls(problem=problem, X=data["X"], F=[data["F0"], data["F1"]],
+                 model_dic=model_dic, seed=None if seed == -1 else seed)
+        bo.hv_trace = list(np.asarray(data["hv_trace"], dtype=float))
+        bo._run_key = jax.numpy.asarray(data["run_key"])
+        bo._iteration = int(data["iteration"])
+        return bo

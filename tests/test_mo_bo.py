@@ -1,0 +1,72 @@
+"""MO_BO driver (bo/mo_bo.py) — the class form of the nb_modgp BO loop."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from dgp_tpu.bo.mo_bo import MO_BO
+from dgp_tpu.bo.problems import get
+
+
+def _fast_spec():
+    return {"loop": 1, "num_samples": 3, "schedule": (30, 0, 0)}
+
+
+def _fast_run_kwargs():
+    return dict(S=50, popsize_DE=20, iterations_DE=20, verbose=False)
+
+
+def test_mo_bo_infills_grow_hypervolume():
+    bo = MO_BO(problem=get("multi_obj_1D_4"), DoE_size=10,
+               model_dic=_fast_spec(), seed=0)
+    n0 = len(bo.X)
+    trace = bo.run(2, **_fast_run_kwargs())
+    assert len(bo.X) == n0 + 2 and len(bo.F[0]) == n0 + 2
+    # hypervolume w.r.t. the problem box is monotone under point addition
+    assert all(b >= a - 1e-12 for a, b in zip(trace, trace[1:]))
+    assert len(trace) == 3
+    Xnd, Fnd = bo.pareto()
+    assert Xnd.shape[1] == 1 and Fnd.shape[1] == 2 and len(Xnd) >= 1
+    # new points stay in the box
+    for x in bo.added_points:
+        assert np.all(x >= 0.0) and np.all(x <= 1.0)
+
+
+def test_mo_bo_estimators_and_known_doe():
+    problem = get("multi_obj_1D_2")
+    rng = np.random.default_rng(3)
+    X = rng.uniform(0.05, 0.95, (8, 1))
+    F = [np.concatenate([np.reshape(problem.fun(x)[i], (1,)) for x in X])
+         .reshape(-1, 1) for i in (0, 1)]
+    for approx in ("Gaussian", "KDE"):
+        bo = MO_BO(problem=problem, X=X, F=F, model_dic=_fast_spec(), seed=1)
+        trace = bo.run(1, approximation=approx, **_fast_run_kwargs())
+        assert np.isfinite(trace[-1]) and trace[-1] >= trace[0] - 1e-12
+
+
+def test_mo_bo_save_load_exact_resume():
+    """Same stream position + data => the continuation reproduces exactly."""
+    problem = get("multi_obj_1D_4")
+    kw = _fast_run_kwargs()
+
+    bo = MO_BO(problem=problem, DoE_size=10, model_dic=_fast_spec(), seed=4)
+    bo.run(1, **kw)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "mo_bo.npz")
+        bo.save(path)
+        trace_a = bo.run(1, **kw)
+
+        bo2 = MO_BO.load(path, problem, model_dic=_fast_spec())
+        assert bo2._iteration == 1 and len(bo2.X) == len(bo.X) - 1
+        trace_b = bo2.run(1, **kw)
+    np.testing.assert_allclose(trace_b[-1], trace_a[-1], rtol=0, atol=0)
+    np.testing.assert_array_equal(bo2.X, bo.X)
+
+
+def test_mo_bo_validation_errors():
+    with pytest.raises(ValueError):
+        MO_BO()
+    with pytest.raises(ValueError):
+        MO_BO(problem=get("multi_obj_1D_4"))
