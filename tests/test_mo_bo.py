@@ -65,6 +65,16 @@ def test_mo_bo_save_load_exact_resume():
     np.testing.assert_array_equal(bo2.X, bo.X)
 
 
+def test_mo_bo_multidim_problem():
+    """d=3 (kursawe): the infill search and denormalization are per-column."""
+    bo = MO_BO(problem=get("kursawe"), DoE_size=12,
+               model_dic={"loop": 1, "num_samples": 3, "schedule": (20, 0, 0)},
+               seed=2)
+    trace = bo.run(1, **_fast_run_kwargs())
+    assert bo.X.shape == (13, 3)
+    assert np.isfinite(trace[-1]) and trace[-1] >= trace[0] - 1e-12
+
+
 def test_mo_bo_validation_errors():
     with pytest.raises(ValueError):
         MO_BO()
