@@ -103,6 +103,23 @@ def Y_ND(Y, ND, nadir, ideal=(0.0, 0.0)):
     return [out0, out1]
 
 
+def pad_front(YND, bucket):
+    """Pad a padded front (Y_ND output) to a multiple of ``bucket`` rows by
+    repeating the nadir corner row. Duplicate adjacent points create
+    zero-width staircase segments: every EHVI estimator term for such a
+    segment carries a psi(a, b0) - psi(a, b0) = 0 factor, so the value is
+    EXACTLY unchanged (pinned numerically for all three estimators in
+    tests/test_ehvi.py). Lets BO loops keep the jitted EHVI/DE engines
+    compile-stable while the non-dominated front grows."""
+    if not bucket:
+        return YND
+    k = (-len(np.asarray(YND[0]))) % int(bucket)
+    if not k:
+        return YND
+    return [np.vstack([np.repeat(np.asarray(y)[:1], k, axis=0),
+                       np.asarray(y)]) for y in YND]
+
+
 def psi(a, b, mu, sigma):
     """sigma*phi((b-mu)/sigma) + (a-mu)*Phi((b-mu)/sigma) (EHVI.py:102-104)."""
     z = (b - mu) / sigma

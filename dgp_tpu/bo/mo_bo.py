@@ -22,7 +22,7 @@ import numpy as np
 
 from ..models.mo_dgp import MultiObjDeepGP
 from .doe import lhs
-from .ehvi import HV_calcul, NDC, Y_ND, optimize_EHVI
+from .ehvi import HV_calcul, NDC, Y_ND, optimize_EHVI, pad_front
 
 
 class MO_BO:
@@ -167,7 +167,12 @@ class MO_BO:
                      float((b[3] - f1.mean()) / f1.std()))
             ideal = (float((b[0] - f0.mean()) / f0.std()),
                      float((b[1] - f1.mean()) / f1.std()))
-            YND = Y_ND(Fn, NDT, nadir=nadir, ideal=ideal)
+            # repeat the nadir corner up to the bucket: zero-width staircase
+            # segments leave every EHVI estimator exactly unchanged
+            # (test_pad_front_ehvi_invariant) but keep the jitted EHVI/DE
+            # engines compile-stable while the front grows
+            YND = pad_front(Y_ND(Fn, NDT, nadir=nadir, ideal=ideal),
+                            self.n_bucket)
 
             x_opt_n = optimize_EHVI(
                 model, YND, method=method, popsize_DE=popsize_DE,

@@ -230,3 +230,32 @@ def test_ehvi_gaussian_corr_consumes_sample_covariance(monkeypatch):
     g_cor = np.asarray(EHVI(None, np.zeros((2, 1)), YND, corr=True,
                             approximation="Gaussian", S=10000)).ravel()
     assert np.all(g_cor > g_ind)
+
+
+def test_pad_front_ehvi_invariant(monkeypatch):
+    """pad_front repeats the nadir corner row: the duplicate adjacent points
+    form zero-width staircase segments, so every estimator's value is
+    unchanged — the invariance MO_BO relies on to keep its jitted EHVI/DE
+    engines compile-stable while the front grows."""
+    import dgp_tpu.bo.ehvi as ehvi_mod
+    from dgp_tpu.bo.ehvi import pad_front
+
+    monkeypatch.setattr(ehvi_mod, "_mo_model_state",
+                        lambda m: ("two_dgp", None, None))
+    YND = _ynd()
+    padded = pad_front(YND, 8)
+    assert len(padded[0]) == 8 and len(padded[1]) == 8
+    np.testing.assert_array_equal(padded[0][-len(YND[0]):], YND[0])
+    assert pad_front(YND, None) is YND
+
+    for approx, S, seed in (("None", 10, 0), ("Gaussian", 4000, 1),
+                            ("KDE", 4000, 1)):
+        vals = []
+        for front in (YND, padded):
+            monkeypatch.setattr(
+                ehvi_mod, "_mo_moments_and_samples_pure",
+                _fake_moments_factory(_MEANS, _VARIS, seed=seed))
+            vals.append(np.asarray(EHVI(None, np.zeros((2, 1)), front,
+                                        approximation=approx, S=S)))
+        np.testing.assert_allclose(vals[1], vals[0], rtol=1e-6, atol=1e-9,
+                                   err_msg=approx)
