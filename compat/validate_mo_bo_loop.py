@@ -4,6 +4,12 @@ Iterate: train MO-DGP -> compute the non-dominated front + padded YND ->
 maximize EHVI -> evaluate the problem at the new point -> append + renormalize
 -> retrain. Asserts the dominated hypervolume (vs the problem's reference
 box) is non-decreasing and improves over the run.
+
+NOTE: like the notebook (and the reference's hardcoded ``bounds=(0,1)``,
+EHVI.py:210), this mirror searches the unit box in *normalized* input
+coordinates, which confines proposals to [mean, mean+std] per dimension.
+The ``MO_BO`` driver repairs that (search over the domain box mapped
+through the normalization) — see PARITY.md deviation 5.
 """
 
 import os

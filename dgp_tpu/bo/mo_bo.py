@@ -23,6 +23,7 @@ import numpy as np
 from ..models.mo_dgp import MultiObjDeepGP
 from .doe import lhs
 from .ehvi import HV_calcul, NDC, Y_ND, optimize_EHVI, pad_front
+from .so_bo import _safe_std, denormalize, normalize, normalize_X
 
 
 class MO_BO:
@@ -102,9 +103,14 @@ class MO_BO:
         return self.X[nd], F[nd]
 
     def _normalized(self):
-        Xn = (self.X - self.X.mean(0)) / self.X.std(0)
-        Fn = [(f - f.mean(0)) / f.std(0) for f in self.F]
-        return Xn, Fn
+        """(Xn, Fn, lw_n, up_n): normalized data plus the [0,1]^d domain
+        box mapped through the same normalization (zero-variance columns
+        guarded by so_bo._safe_std) — the EHVI search must run over the
+        mapped box, NOT the unit box of normalized coordinates (which would
+        confine denormalized proposals to [mean, mean+std] per dimension)."""
+        Xn, lw_n, up_n = normalize_X(self.X)
+        Fn = [normalize(f) for f in self.F]
+        return Xn, Fn, lw_n, up_n
 
     def _bucketed_inducing(self, Xn, Fn):
         """MO-DGP's default inducing rows (Z0 = [X, Y_2], Z1 = X,
@@ -136,8 +142,8 @@ class MO_BO:
             seed=seed, n_bucket=self.n_bucket)
 
     # -- the loop ---------------------------------------------------------------
-    def run(self, iterations=1, approximation="None", S=200, method="DE",
-            popsize_DE=60, iterations_DE=60, iterations_adam=100,
+    def run(self, iterations=1, approximation="None", S=1000, method="DE",
+            popsize_DE=300, iterations_DE=400, iterations_adam=1000,
             verbose=True):
         """``iterations`` EHVI infills; returns the hypervolume trace
         (including the initial DoE hypervolume at index 0).
@@ -145,13 +151,11 @@ class MO_BO:
         :param approximation: EHVI estimator — "None" (exact 2-D),
             "Gaussian", or "KDE" (bo/ehvi.py).
         """
-        import jax
-
         sched = self.model_dic.get("schedule", (100, 0, 0))
         restarts = int(self.model_dic.get("restarts", 1))
         for _ in range(iterations):
             it = self._iteration
-            Xn, Fn = self._normalized()
+            Xn, Fn, lw_n, up_n = self._normalized()
             model = self.make_model(Xn, Fn, seed=it)
             model.optimize_nat_adam(
                 iterations1=sched[0], iterations2=sched[1],
@@ -163,10 +167,11 @@ class MO_BO:
             NDT = NDC(self.F, self.C, obj1_ascending=False)
             b = self.problem.bounds
             f0, f1 = self.F
-            nadir = (float((b[2] - f0.mean()) / f0.std()),
-                     float((b[3] - f1.mean()) / f1.std()))
-            ideal = (float((b[0] - f0.mean()) / f0.std()),
-                     float((b[1] - f1.mean()) / f1.std()))
+            s0, s1 = _safe_std(f0).item(), _safe_std(f1).item()
+            nadir = (float((b[2] - f0.mean()) / s0),
+                     float((b[3] - f1.mean()) / s1))
+            ideal = (float((b[0] - f0.mean()) / s0),
+                     float((b[1] - f1.mean()) / s1))
             # repeat the nadir corner up to the bucket: zero-width staircase
             # segments leave every EHVI estimator exactly unchanged
             # (test_pad_front_ehvi_invariant) but keep the jitted EHVI/DE
@@ -179,8 +184,9 @@ class MO_BO:
                 iterations_DE=iterations_DE,
                 iterations_adam=iterations_adam,
                 approximation=approximation, S=S,
+                bounds=(lw_n, up_n),
                 key=self._next_run_key())
-            x_new = self.X.std(0) * x_opt_n + self.X.mean(0)
+            x_new = denormalize(x_opt_n, self.X)
             x_new = np.clip(x_new, 0.0, 1.0)
             f_new = self._evaluate(x_new)
 
@@ -210,6 +216,9 @@ class MO_BO:
             "seed": np.asarray(self._seed if self._seed is not None else -1),
             "iteration": np.asarray(self._iteration),
             "n_bucket": np.asarray(self.n_bucket or 0),
+            "added_points": (np.concatenate(self.added_points, axis=0)
+                             if self.added_points
+                             else np.zeros((0, self.d))),
         }
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
@@ -229,4 +238,7 @@ class MO_BO:
         bo.hv_trace = list(np.asarray(data["hv_trace"], dtype=float))
         bo._run_key = jax.numpy.asarray(data["run_key"])
         bo._iteration = int(data["iteration"])
+        bo.C = np.asarray(data["C"], dtype=float)
+        bo.added_points = [row[None, :] for row in
+                           np.asarray(data["added_points"], dtype=float)]
         return bo

@@ -65,6 +65,34 @@ def test_mo_bo_save_load_exact_resume():
     np.testing.assert_array_equal(bo2.X, bo.X)
 
 
+def test_mo_bo_search_box_covers_domain(monkeypatch):
+    """The EHVI search must run over the [0,1]^d domain mapped through the
+    input normalization — not the unit box of normalized coordinates, which
+    would confine denormalized proposals to [mean, mean+std] per dimension
+    (a bug the vacuous HV-monotone assertion cannot catch)."""
+    import dgp_tpu.bo.mo_bo as mo_bo_mod
+    from dgp_tpu.bo.so_bo import _safe_std
+
+    bo = MO_BO(problem=get("multi_obj_1D_4"), DoE_size=10,
+               model_dic=_fast_spec(), seed=0)
+    mu, sd = bo.X.mean(0), _safe_std(bo.X)
+    target = 0.02  # a domain point well below the DoE mean
+    captured = {}
+
+    def fake_optimize(model, YND, **kw):
+        captured["bounds"] = kw["bounds"]
+        return ((target - mu) / sd)[None, :]
+
+    monkeypatch.setattr(mo_bo_mod, "optimize_EHVI", fake_optimize)
+    bo.run(1, **_fast_run_kwargs())
+    lw, up = captured["bounds"]
+    np.testing.assert_allclose(lw, (0.0 - mu) / sd)
+    np.testing.assert_allclose(up, (1.0 - mu) / sd)
+    # the proposal denormalizes back to the intended domain point
+    np.testing.assert_allclose(bo.X[-1], [target], atol=1e-12)
+    assert bo.X[-1][0] < bo.X[:-1].mean()
+
+
 def test_mo_bo_multidim_problem():
     """d=3 (kursawe): the infill search and denormalization are per-column."""
     bo = MO_BO(problem=get("kursawe"), DoE_size=12,
