@@ -108,8 +108,10 @@ def bench_dgp_tpu():
         return carry, losses[-1]
 
     carry = (model.params, opt.init(model.params), jax.random.PRNGKey(0))
-    carry, loss = run(carry, WARMUP)        # compile (separate n)
-    carry, loss = run(carry, STEPS)         # compile the timed engine + warm
+    # one engine: scan length is static, so warming at STEPS both compiles
+    # the timed program and warms the chip (a separate WARMUP-length call
+    # would compile a second program for nothing — ~4 min over the tunnel)
+    carry, loss = run(carry, STEPS)
     jax.block_until_ready(loss)
     t0 = time.perf_counter()
     carry, loss = run(carry, STEPS)
