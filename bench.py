@@ -26,9 +26,67 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+# -- transient-backend retry ---------------------------------------------------
+# Round 3's driver bench run was lost to a single transient tunnel failure
+# ("Unable to initialize backend 'axon': UNAVAILABLE") with no retry. A failed
+# backend init can leave poisoned state cached inside jax's backend registry,
+# so the retry re-execs a FRESH process (attempt counter carried in the
+# environment) rather than looping in-process. Only transient backend/init
+# errors are retried — a numerics failure (non-finite loss, shape error)
+# must surface immediately.
+
+_ATTEMPT_ENV = "DGP_BENCH_ATTEMPT"
+MAX_ATTEMPTS = int(os.environ.get("DGP_BENCH_MAX_ATTEMPTS", "3"))
+BACKOFF_S = float(os.environ.get("DGP_BENCH_BACKOFF_S", "60"))
+
+_TRANSIENT_MARKERS = (
+    "UNAVAILABLE",
+    "Unable to initialize backend",
+    "DEADLINE_EXCEEDED",
+    "Socket closed",
+    "failed to connect",
+    "Connection reset",
+)
+
+
+def _is_transient_backend_error(exc: BaseException) -> bool:
+    """True only for backend-acquisition/tunnel failures worth a fresh-process
+    retry; numerics and programming errors are never retried."""
+    if isinstance(exc, (AssertionError, ValueError, TypeError, KeyError)):
+        return False
+    msg = str(exc)
+    return any(marker in msg for marker in _TRANSIENT_MARKERS)
+
+
+def _run_with_retry(fn, *, attempt_env=_ATTEMPT_ENV, max_attempts=None,
+                    backoff_s=None, sleep=time.sleep, execv=os.execv,
+                    argv=None):
+    """Run ``fn``; on a transient backend error below the attempt budget,
+    sleep and re-exec this script in a fresh process. The injected ``sleep``/
+    ``execv`` hooks exist for the forced-failure unit test."""
+    max_attempts = MAX_ATTEMPTS if max_attempts is None else max_attempts
+    backoff_s = BACKOFF_S if backoff_s is None else backoff_s
+    attempt = int(os.environ.get(attempt_env, "0"))
+    try:
+        return fn()
+    except Exception as exc:
+        if attempt + 1 >= max_attempts or not _is_transient_backend_error(exc):
+            raise
+        sys.stderr.write(
+            f"bench: transient backend failure on attempt "
+            f"{attempt + 1}/{max_attempts}, retrying in {backoff_s:.0f}s: "
+            f"{exc}\n")
+        sleep(backoff_s)
+        os.environ[attempt_env] = str(attempt + 1)
+        argv = argv if argv is not None else [sys.executable,
+                                              os.path.abspath(__file__)]
+        execv(argv[0], argv)
+        return None  # only reachable with an injected no-op execv (tests)
 
 
 def _enable_compilation_cache():
@@ -214,7 +272,7 @@ def get_baseline():
 
 
 def main():
-    value = bench_dgp_tpu()
+    value = _run_with_retry(bench_dgp_tpu)
     baseline = get_baseline()
     vs = value / baseline if baseline else None
     print(json.dumps({

@@ -6,9 +6,11 @@ padding (Y_ND), the psi helper, and the EHVI acquisition in three estimators
 (exact 2-D, Gaussian approximation with MC sample covariance, KDE over
 samples), plus the DE/Adam EHVI optimizer.
 
-Supported model forms: a list of two independent DGPs, or a MultiObjDeepGP
-(the reference's TF1-era 'coreg' branch, EHVI.py:131-149, is dead code and is
-not ported). Reference bug fixed: optimize_EHVI passed population_stddev and
+Supported model forms: a list of two independent DGPs (reference branch
+EHVI.py:124-130), a list of two independent exact GPRs (beyond reference:
+analytic moments, no MC propagate), or a MultiObjDeepGP (the reference's
+TF1-era 'coreg' branch, EHVI.py:131-149, is dead code and is not ported).
+Reference bug fixed: optimize_EHVI passed population_stddev and
 population_size swapped into tfp (EHVI.py:216).
 """
 
@@ -134,11 +136,20 @@ def _mo_model_state(model_Y):
     forms — the pure counterpart of the object dispatch, enabling cached
     jitted EHVI programs (bo/de._ENGINE_CACHE)."""
     if isinstance(model_Y, (list, tuple)):
-        return "two_dgp", None, (model_Y[0].params, model_Y[1].params)
+        names = [getattr(m, "name", None) for m in model_Y]
+        if names == ["gpr", "gpr"]:
+            # exact GPs: analytic moments; train_data is the padded triple,
+            # so bucketed BO loops keep a stable traced shape
+            return "two_gpr", None, (model_Y[0].params, model_Y[0].train_data,
+                                     model_Y[1].params, model_Y[1].train_data)
+        if names == ["dgp", "dgp"]:
+            return "two_dgp", None, (model_Y[0].params, model_Y[1].params)
+        raise ValueError(
+            f"a model list must be two DGPs or two GPRs, got {names}")
     if getattr(model_Y, "name", None) == "mo_dgp":
         return "mo_dgp", model_Y.loop, model_Y.params
     raise ValueError(
-        "model_Y must be a list of two DGPs or a MultiObjDeepGP (the "
+        "model_Y must be a list of two DGPs/GPRs or a MultiObjDeepGP (the "
         "reference's TF1 'coreg' branch is not supported)"
     )
 
@@ -146,6 +157,24 @@ def _mo_model_state(model_Y):
 def _mo_moments_and_samples_pure(kind, loop, state, Xcand, S, key,
                                  need_samples):
     """(mean0, var0, mean1, var1, samples [S, n, 2] or None)."""
+    if kind == "two_gpr":
+        from ..models import gpr as gpr_mod
+
+        p0, d0, p1, d1 = state
+        m0, v0 = gpr_mod.predict_f(p0, d0, Xcand)
+        m1, v1 = gpr_mod.predict_f(p1, d1, Xcand)
+        samples = None
+        if need_samples:
+            # independent exact-GP posteriors: draws are independent
+            # Gaussians at the analytic moments
+            k0, k1 = jax.random.split(key)
+            n = Xcand.shape[0]
+            s0 = m0[None, :, 0] + jnp.sqrt(jnp.maximum(v0[None, :, 0], 0.0)) \
+                * jax.random.normal(k0, (S, n), dtype=m0.dtype)
+            s1 = m1[None, :, 0] + jnp.sqrt(jnp.maximum(v1[None, :, 0], 0.0)) \
+                * jax.random.normal(k1, (S, n), dtype=m1.dtype)
+            samples = jnp.stack([s0, s1], axis=2)
+        return m0, v0, m1, v1, samples
     if kind == "two_dgp":
         p0, p1 = state
         k0, k1 = jax.random.split(key)

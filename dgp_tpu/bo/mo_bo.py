@@ -10,8 +10,9 @@ save/load checkpointing of the whole loop.
 
 Per infill the surrogate is rebuilt and retrained from scratch exactly as
 the notebook does (each iteration constructs a fresh ``MultiObjDeepGP``);
-``restarts > 1`` turns on the best-of-k multi-start that rescues the
-chaotic landscape's bad basins (models/mo_dgp.py).
+the default ``restarts='auto'`` escalates to a best-of-k multi-start only
+when the trained surrogate's fit score flags a bad basin of the chaotic
+landscape (models/mo_dgp.py).
 """
 
 from __future__ import annotations
@@ -23,7 +24,8 @@ import numpy as np
 from ..models.mo_dgp import MultiObjDeepGP
 from .doe import lhs
 from .ehvi import HV_calcul, NDC, Y_ND, optimize_EHVI, pad_front
-from .so_bo import _safe_std, denormalize, normalize, normalize_X
+from .so_bo import (_safe_std, denormalize, make_single_model, normalize,
+                    normalize_X)
 
 
 class MO_BO:
@@ -33,10 +35,12 @@ class MO_BO:
         (ideal1, ideal2, nadir1, nadir2) hypervolume reference box,
         ``fun(x) -> [f1, f2]``).
     :param model_dic: {'loop': 2, 'num_samples': 5,
-        'schedule': (it1, it2, it3), 'restarts': 1} — MO-DGP architecture +
-        training schedule per infill (defaults shown; schedule defaults to
-        the validated fast loop (100, 0, 0), pass the published
-        (2000, 5000, 7500) for full-quality surrogates).
+        'schedule': (it1, it2, it3), 'restarts': 'auto'} — MO-DGP
+        architecture + training schedule per infill (defaults shown;
+        schedule defaults to the validated fast loop (100, 0, 0), pass the
+        published (2000, 5000, 7500) for full-quality surrogates;
+        'restarts' defaults to the bad-basin auto escalation, see
+        MultiObjDeepGP.optimize_nat_adam).
     :param X, F: optional known DoE — X [n, d] and F a list of two [n, 1]
         objective columns; otherwise an LHS DoE of ``DoE_size`` points is
         generated and evaluated.
@@ -135,11 +139,59 @@ class MO_BO:
         return out
 
     def make_model(self, Xn, Fn, seed):
-        return MultiObjDeepGP(
-            [Xn, Xn.copy()], Fn, Z=self._bucketed_inducing(Xn, Fn),
-            loop=int(self.model_dic.get("loop", 2)),
-            num_samples=int(self.model_dic.get("num_samples", 5)),
-            seed=seed, n_bucket=self.n_bucket)
+        """Surrogate per model_dic['type']:
+
+        * ``"mo_dgp"`` (default) — the notebook's coupled recurrent
+          ``MultiObjDeepGP``.
+        * ``"independent"`` — a list of two independent per-objective
+          surrogates from the SO_BO spec-dict factory
+          (``so_bo.make_single_model``): ``num_layers=0`` exact GPRs or
+          ``num_layers>=1`` DGPs. bo/ehvi.py evaluates EHVI over the pair
+          (the reference's own EHVI.py:124-130 list branch); the coupled
+          MO-DGP landscape is chaotic (models/mo_dgp.py) while the
+          independent pair is convex(GPR)/well-behaved — see
+          benchmarks/mo_bo_bakeoff.py for the measured comparison.
+        """
+        mtype = self.model_dic.get("type", "mo_dgp")
+        if mtype == "mo_dgp":
+            return MultiObjDeepGP(
+                [Xn, Xn.copy()], Fn, Z=self._bucketed_inducing(Xn, Fn),
+                loop=int(self.model_dic.get("loop", 2)),
+                num_samples=int(self.model_dic.get("num_samples", 5)),
+                seed=seed, n_bucket=self.n_bucket)
+        if mtype == "independent":
+            spec = {
+                "num_layers": int(self.model_dic.get("num_layers", 0)),
+                "kernels": self.model_dic.get("kernels", "rbf"),
+                "num_units": self.model_dic.get("num_units", 1),
+                "num_samples": int(self.model_dic.get("num_samples", 5)),
+            }
+            return [make_single_model(spec, Xn, np.asarray(f),
+                                      n_bucket=self.n_bucket,
+                                      seed=self._seed)
+                    for f in Fn]
+        raise ValueError(f"unknown model_dic type {mtype!r}")
+
+    def _train_model(self, model, sched, restarts):
+        """Per-infill surrogate training (notebook semantics: from scratch).
+
+        mo_dgp: the 3-phase staged NatGrad schedule. independent GPR pair:
+        Adam on the log marginal likelihood for model_dic['iterations']
+        (default 2000) steps each. independent DGP pair: the 2-phase
+        Adam -> Adam+NatGrad trainer with (sched[0], sched[1])."""
+        if not isinstance(model, list):
+            model.optimize_nat_adam(
+                iterations1=sched[0], iterations2=sched[1],
+                iterations3=sched[2], messages=0, restarts=restarts)
+            return
+        for m in model:
+            if m.name == "gpr":
+                m.optimize_adam(
+                    iterations=int(self.model_dic.get("iterations", 2000)),
+                    lr=0.001)
+            else:
+                m.optimize_nat_adam(iterations1=sched[0],
+                                    iterations2=sched[1], messages=0)
 
     # -- the loop ---------------------------------------------------------------
     def run(self, iterations=1, approximation="None", S=1000, method="DE",
@@ -152,14 +204,16 @@ class MO_BO:
             "Gaussian", or "KDE" (bo/ehvi.py).
         """
         sched = self.model_dic.get("schedule", (100, 0, 0))
-        restarts = int(self.model_dic.get("restarts", 1))
+        # "auto" = run once, escalate to best-of-k only on a measured bad
+        # basin (models/mo_dgp.py optimize_nat_adam)
+        restarts = self.model_dic.get("restarts", "auto")
+        if restarts != "auto":
+            restarts = int(restarts)
         for _ in range(iterations):
             it = self._iteration
             Xn, Fn, lw_n, up_n = self._normalized()
             model = self.make_model(Xn, Fn, seed=it)
-            model.optimize_nat_adam(
-                iterations1=sched[0], iterations2=sched[1],
-                iterations3=sched[2], messages=0, restarts=restarts)
+            self._train_model(model, sched, restarts)
 
             # padded descending front in normalized objective space, with
             # the problem's hypervolume box mapped through the same
@@ -209,6 +263,8 @@ class MO_BO:
         so the data + stream position reproduce the continuation exactly."""
         import os
 
+        import json
+
         state = {
             "X": self.X, "F0": self.F[0], "F1": self.F[1], "C": self.C,
             "hv_trace": np.asarray(self.hv_trace, dtype=float),
@@ -216,6 +272,10 @@ class MO_BO:
             "seed": np.asarray(self._seed if self._seed is not None else -1),
             "iteration": np.asarray(self._iteration),
             "n_bucket": np.asarray(self.n_bucket or 0),
+            # surrogate spec travels with the checkpoint: a resume that
+            # forgot to re-pass model_dic would otherwise silently retrain
+            # with defaults, breaking exact continuation
+            "model_dic": np.asarray(json.dumps(self.model_dic)),
             "added_points": (np.concatenate(self.added_points, axis=0)
                              if self.added_points
                              else np.zeros((0, self.d))),
@@ -227,14 +287,22 @@ class MO_BO:
 
     @classmethod
     def load(cls, path: str, problem, model_dic=None):
+        """Restore a saved loop. ``model_dic`` defaults to the dict the
+        checkpoint was saved with; pass one explicitly only to override it."""
         import jax
+        import json
 
         data = np.load(path)
         seed = int(data["seed"])
+        if model_dic is None and "model_dic" in data.files:
+            model_dic = json.loads(str(data["model_dic"]))
+        if "n_bucket" in data.files:
+            n_bucket = int(data["n_bucket"]) or None
+        else:
+            n_bucket = 8
         bo = cls(problem=problem, X=data["X"], F=[data["F0"], data["F1"]],
                  model_dic=model_dic, seed=None if seed == -1 else seed,
-                 n_bucket=int(data["n_bucket"]) or None
-                 if "n_bucket" in data.files else 8)
+                 n_bucket=n_bucket)
         bo.hv_trace = list(np.asarray(data["hv_trace"], dtype=float))
         bo._run_key = jax.numpy.asarray(data["run_key"])
         bo._iteration = int(data["iteration"])

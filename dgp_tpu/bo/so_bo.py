@@ -63,6 +63,68 @@ def denormalize_var(var_n, X):
     return _safe_std(X) ** 2 * var_n
 
 
+def bucketed_inducing(X, n_bucket, seed=None):
+    """Default inducing set Z = X (SO_BO.py:202-248 passes the training
+    inputs), padded to multiples of ``n_bucket`` with distinct in-range
+    points so M only changes at bucket boundaries (duplicate rows would make
+    Kuu singular). Extra inducing points only add variational capacity."""
+    if not n_bucket:
+        return X.copy()
+    from ..models.training import bucket_rows
+
+    n, d = X.shape
+    n_pad = bucket_rows(n, n_bucket)
+    if n_pad == n:
+        return X.copy()
+    rng = np.random.default_rng(seed or 0)
+    lo, hi = X.min(axis=0), X.max(axis=0)
+    extra = rng.uniform(size=(n_pad - n, d)) * (hi - lo) + lo
+    return np.concatenate([X, extra], axis=0)
+
+
+def make_single_model(dic, X, Y, n_bucket=None, seed=None):
+    """Spec-dict surrogate factory (SO_BO.py:176-249): num_layers=0 builds
+    an exact GPR, otherwise a DGP with Z = bucketed training inputs. Shared
+    by SO_BO (objective + constraint surrogates) and MO_BO's independent
+    per-objective surrogates."""
+    if "num_layers" not in dic:
+        raise ValueError("num_layers entry is not specified")
+    num_layers = dic["num_layers"]
+    kern_names = dic.get("kernels")
+    if kern_names is None:
+        raise ValueError("kernels entry is not specified")
+
+    if num_layers == 0:
+        if not isinstance(kern_names, str):
+            raise ValueError("for num_layers=0, kernels must be a string")
+        kernel = kernels_lib.by_name(kern_names, X.shape[1])
+        return GPR((X, Y), kernel, noise_variance=1e-5, n_bucket=n_bucket)
+
+    num_samples = dic.get("num_samples")
+    if num_samples is None:
+        raise ValueError("num_samples entry is not specified")
+    num_units = dic.get("num_units")
+    if num_units is None:
+        raise ValueError("num_units entry is not specified")
+    if isinstance(num_units, int):
+        num_units = [num_units] * num_layers
+    elif len(num_units) != num_layers:
+        raise ValueError(
+            "the length of num_units has to equal the number of layers"
+        )
+    if isinstance(kern_names, str):
+        kern_names = [kern_names] * (num_layers + 1)
+    elif len(kern_names) != num_layers + 1:
+        raise ValueError("the length of kernels has to equal num_layers + 1")
+    kernels = []
+    for l in range(num_layers + 1):
+        units = X.shape[1] if l == 0 else num_units[l - 1]
+        kernels.append(kernels_lib.by_name(kern_names[l], units))
+    Z = bucketed_inducing(X, n_bucket, seed=seed)
+    return DGP(X, Y, Z, kernels, num_units, Gaussian.create(1.0),
+               num_samples=num_samples, n_bucket=n_bucket)
+
+
 class SO_BO:
     """Minimize f(x) over [0,1]^d subject to g(x) <= 0.
 
@@ -189,63 +251,11 @@ class SO_BO:
 
     # -- model factory (spec dict) ----------------------------------------------
     def make_model(self, dic, X, Y):
-        if "num_layers" not in dic:
-            raise ValueError("num_layers entry is not specified")
-        num_layers = dic["num_layers"]
-        kern_names = dic.get("kernels")
-        if kern_names is None:
-            raise ValueError("kernels entry is not specified")
-
-        if num_layers == 0:
-            if not isinstance(kern_names, str):
-                raise ValueError("for num_layers=0, kernels must be a string")
-            kernel = kernels_lib.by_name(kern_names, X.shape[1])
-            return GPR((X, Y), kernel, noise_variance=1e-5,
-                       n_bucket=self.n_bucket)
-
-        num_samples = dic.get("num_samples")
-        if num_samples is None:
-            raise ValueError("num_samples entry is not specified")
-        num_units = dic.get("num_units")
-        if num_units is None:
-            raise ValueError("num_units entry is not specified")
-        if isinstance(num_units, int):
-            num_units = [num_units] * num_layers
-        elif len(num_units) != num_layers:
-            raise ValueError(
-                "the length of num_units has to equal the number of layers"
-            )
-        if isinstance(kern_names, str):
-            kern_names = [kern_names] * (num_layers + 1)
-        elif len(kern_names) != num_layers + 1:
-            raise ValueError(
-                "the length of kernels has to equal num_layers + 1"
-            )
-        kernels = []
-        for l in range(num_layers + 1):
-            units = X.shape[1] if l == 0 else num_units[l - 1]
-            kernels.append(kernels_lib.by_name(kern_names[l], units))
-        Z = self._bucketed_inducing(X)
-        return DGP(X, Y, Z, kernels, num_units, Gaussian.create(1.0),
-                   num_samples=num_samples, n_bucket=self.n_bucket)
+        return make_single_model(dic, X, Y, n_bucket=self.n_bucket,
+                                 seed=self._seed)
 
     def _bucketed_inducing(self, X):
-        """Default inducing set Z = X (SO_BO.py:202-248 passes the training
-        inputs), padded to the bucket with distinct in-range points so M only
-        changes at bucket boundaries (duplicate rows would make Kuu
-        singular). Extra inducing points only add variational capacity."""
-        if not self.n_bucket:
-            return X.copy()
-        from ..models.training import bucket_rows
-
-        n, d = X.shape
-        n_pad = bucket_rows(n, self.n_bucket)
-        if n_pad == n:
-            return X.copy()
-        rng = np.random.default_rng(self._seed or 0)
-        lo, hi = X.min(axis=0), X.max(axis=0)
-        extra = rng.uniform(size=(n_pad - n, d)) * (hi - lo) + lo
-        return np.concatenate([X, extra], axis=0)
+        return bucketed_inducing(X, self.n_bucket, seed=self._seed)
 
     # -- training -----------------------------------------------------------------
     def train_model(self, model, iteration=3000):

@@ -370,7 +370,8 @@ class MultiObjDeepGP:
                           iterations2=5000, iterations3=7500, messages=500,
                           q_sqrt_scale=1e-2, train_upto_objective=-1,
                           checkpoint_path=None, checkpoint_every=0,
-                          restarts=1, restart_select="fit"):
+                          restarts="auto", restart_select="fit",
+                          restart_threshold=0.9, max_restarts=4):
         """3-phase training (MO_DGP.py:418-494).
 
         :param train_upto_objective: restrict the ELBO's data terms to
@@ -381,14 +382,29 @@ class MultiObjDeepGP:
             key stream, and a minority land in poor basins that the natgrad
             loss guard cannot rescue (measured: 1 of 4 seeds at the full
             published schedule). With ``restarts=k > 1`` the schedule runs k
-            times — restart 0 from the exact published init, later restarts
-            with independent PRNG streams *and* log-normal-jittered kernel
-            lengthscale inits (sigma=0.5; stream-only restarts measured
-            insufficient on bad-DoE seeds) — and the best candidate's
-            parameters are kept. Candidates reuse
-            the cached compiled engines, so warm restarts cost only the step
-            time (~seconds at the reference's tiny-n configs), and they are
-            embarrassingly parallel in principle.
+            times — restart 0 from the exact published init AND the exact
+            restarts=1 MC stream, later restarts with independent PRNG
+            streams *and* log-normal-jittered kernel lengthscale inits
+            (sigma=0.5; stream-only restarts measured insufficient on
+            bad-DoE seeds) — and the best candidate's parameters are kept.
+            Candidates reuse the cached compiled engines, so warm restarts
+            cost only the step time (~seconds at the reference's tiny-n
+            configs), and they are embarrassingly parallel in principle.
+            The default ``"auto"`` is the bad-basin escalation: run once
+            (the exact published trajectory), score the fit, and only when
+            the worst per-objective train r2 falls below
+            ``restart_threshold`` keep restarting (up to ``max_restarts``
+            total). Good seeds pay one extra ~50-sample fit evaluation;
+            the measured ~1-in-4 silently-bad seeds (r2 0.49 at the
+            published schedule, mo_seeds_results.json) get rescued instead
+            of shipped. ``restarts=1`` restores the unguarded single run.
+        :param restart_threshold: "auto" escalation trigger — the measured
+            bad basins sit at worst-objective train r2 0.49-0.72 while
+            healthy runs land >=0.997, so 0.9 separates them with margin.
+            On genuinely noisy data where a DGP cannot reach train r2 0.9,
+            every candidate scores below threshold and "auto" degenerates to
+            best-of-``max_restarts`` — set ``restarts=1`` there.
+        :param max_restarts: attempt budget for ``restarts="auto"``.
         :param restart_select: selection criterion. ``"fit"`` (default)
             maximizes the worst per-objective train r2 under a shared
             evaluation key — final ELBO provably does NOT separate good from
@@ -405,8 +421,13 @@ class MultiObjDeepGP:
         from ..config import precision_scope
         from .dgp import _qs_accessors
 
+        auto = restarts == "auto"
+        if auto:
+            n_restarts = int(max_restarts)
+        else:
+            n_restarts = int(restarts)
         with precision_scope(bwd="high"):
-            if restarts <= 1:
+            if n_restarts <= 1 and not auto:
                 return self._nat_adam_guarded(
                     lr_adam, lr_gamma, iterations1, iterations2, iterations3,
                     messages, q_sqrt_scale, train_upto_objective,
@@ -414,7 +435,7 @@ class MultiObjDeepGP:
             params0, key0 = self.params, self._key
             eval_key = jax.random.fold_in(key0, 0x5e1ec7)
             best = None
-            for r in range(restarts):
+            for r in range(n_restarts):
                 # restart 0 is the exact published init; later restarts
                 # jitter the kernel-lengthscale init too — varying only the
                 # MC stream leaves every candidate in the same init basin
@@ -422,7 +443,10 @@ class MultiObjDeepGP:
                 # across 4 streams at the full schedule)
                 self.params = (params0 if r == 0 else _jitter_lengthscales(
                     params0, jax.random.fold_in(key0, 0xD1CE + r)))
-                self._key = jax.random.fold_in(key0, r)
+                # restart 0 keeps key0 UNCHANGED so its MC stream — not just
+                # its parameters — is the exact restarts=1 trajectory:
+                # best-of-k strictly contains the single run as a candidate
+                self._key = key0 if r == 0 else jax.random.fold_in(key0, r)
                 # per-restart checkpoint path: sharing one path would leave
                 # the LAST restart's mid-schedule state on disk, not the
                 # selected candidate (the final save below fixes the latter)
@@ -432,7 +456,10 @@ class MultiObjDeepGP:
                     lr_adam, lr_gamma, iterations1, iterations2, iterations3,
                     messages, q_sqrt_scale, train_upto_objective,
                     ckpt_r, checkpoint_every, _qs_accessors)
-                score = self._restart_score(restart_select, eval_key)
+                # "auto" escalation needs an r2-scale score for its
+                # threshold, so it always scores by fit
+                score = self._restart_score(
+                    "fit" if auto else restart_select, eval_key)
                 if messages:
                     print(f"restart {r}: score={score:.4f}")
                 # a NaN score must never win (NaN comparisons are False both
@@ -443,6 +470,9 @@ class MultiObjDeepGP:
                     and (not math.isfinite(best[0]) or score > best[0]))
                 if better:
                     best = (score, self.params, self._key, losses)
+                if (auto and math.isfinite(score)
+                        and score >= restart_threshold):
+                    break
             _, self.params, self._key, losses = best
             if checkpoint_path is not None:
                 training.make_checkpoint_fn(checkpoint_path)(self.params, -1)

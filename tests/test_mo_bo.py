@@ -11,7 +11,10 @@ from dgp_tpu.bo.problems import get
 
 
 def _fast_spec():
-    return {"loop": 1, "num_samples": 3, "schedule": (30, 0, 0)}
+    # restarts=1: at these deliberately-tiny schedules the "auto" default
+    # would always escalate to best-of-4 and quadruple the suite time
+    return {"loop": 1, "num_samples": 3, "schedule": (30, 0, 0),
+            "restarts": 1}
 
 
 def _fast_run_kwargs():
@@ -58,8 +61,14 @@ def test_mo_bo_save_load_exact_resume():
         bo.save(path)
         trace_a = bo.run(1, **kw)
 
-        bo2 = MO_BO.load(path, problem, model_dic=_fast_spec())
+        # model_dic is NOT re-passed: load() must restore the surrogate spec
+        # from the checkpoint itself (a forgotten dict would silently
+        # retrain with defaults and break exact continuation)
+        bo2 = MO_BO.load(path, problem)
         assert bo2._iteration == 1 and len(bo2.X) == len(bo.X) - 1
+        spec = _fast_spec()
+        assert {k: tuple(v) if isinstance(v, (list, tuple)) else v
+                for k, v in bo2.model_dic.items()} == spec
         trace_b = bo2.run(1, **kw)
     np.testing.assert_allclose(trace_b[-1], trace_a[-1], rtol=0, atol=0)
     np.testing.assert_array_equal(bo2.X, bo.X)
@@ -101,6 +110,73 @@ def test_mo_bo_multidim_problem():
     trace = bo.run(1, **_fast_run_kwargs())
     assert bo.X.shape == (13, 3)
     assert np.isfinite(trace[-1]) and trace[-1] >= trace[0] - 1e-12
+
+
+def test_mo_bo_independent_gpr_surrogates():
+    """model_dic type='independent' with num_layers=0: two exact GPRs per
+    infill, EHVI over the pair (bo/ehvi.py two_gpr); loop runs, HV stays
+    monotone, save/load keeps the surrogate type."""
+    spec = {"type": "independent", "num_layers": 0, "kernels": "rbf",
+            "iterations": 100}
+    bo = MO_BO(problem=get("multi_obj_1D_4"), DoE_size=10, model_dic=spec,
+               seed=0)
+    model = bo.make_model(*bo._normalized()[:2], seed=0)
+    assert isinstance(model, list) and [m.name for m in model] == [
+        "gpr", "gpr"]
+    trace = bo.run(2, **_fast_run_kwargs())
+    assert all(b >= a - 1e-12 for a, b in zip(trace, trace[1:]))
+    for x in bo.added_points:
+        assert np.all(x >= 0.0) and np.all(x <= 1.0)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "mo_bo_ind.npz")
+        bo.save(path)
+        bo2 = MO_BO.load(path, get("multi_obj_1D_4"))
+        assert bo2.model_dic["type"] == "independent"
+        assert bo2.model_dic["num_layers"] == 0
+
+
+def test_mo_bo_independent_dgp_surrogates():
+    """num_layers>=1 builds two independent DGPs trained by the 2-phase
+    Adam->NatGrad trainer with (sched[0], sched[1])."""
+    spec = {"type": "independent", "num_layers": 1, "num_units": 1,
+            "kernels": "rbf", "num_samples": 2, "schedule": (10, 5, 0)}
+    bo = MO_BO(problem=get("multi_obj_1D_2"), DoE_size=8, model_dic=spec,
+               seed=1)
+    model = bo.make_model(*bo._normalized()[:2], seed=0)
+    assert isinstance(model, list) and [m.name for m in model] == [
+        "dgp", "dgp"]
+    trace = bo.run(1, **_fast_run_kwargs())
+    assert np.isfinite(trace[-1]) and trace[-1] >= trace[0] - 1e-12
+
+
+def test_mo_bo_unknown_model_type():
+    bo = MO_BO(problem=get("multi_obj_1D_4"), DoE_size=8,
+               model_dic={"type": "nope"}, seed=0)
+    with pytest.raises(ValueError, match="unknown model_dic type"):
+        bo.run(1, **_fast_run_kwargs())
+
+
+def test_mo_bo_default_auto_restarts(monkeypatch):
+    """Without 'restarts' in model_dic the driver passes restarts='auto'
+    through to the surrogate trainer (bad-basin escalation default-on)."""
+    from dgp_tpu.models.mo_dgp import MultiObjDeepGP
+
+    seen = {}
+    monkeypatch.setattr(MultiObjDeepGP, "_restart_score",
+                        lambda self, crit, key: seen.setdefault("scored", 1.0))
+    orig = MultiObjDeepGP.optimize_nat_adam
+
+    def spy(self, *a, **kw):
+        seen["restarts"] = kw.get("restarts")
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(MultiObjDeepGP, "optimize_nat_adam", spy)
+    spec = {"loop": 1, "num_samples": 3, "schedule": (20, 0, 0)}
+    bo = MO_BO(problem=get("multi_obj_1D_4"), DoE_size=10,
+               model_dic=spec, seed=0)
+    trace = bo.run(1, **_fast_run_kwargs())
+    assert seen["restarts"] == "auto" and seen["scored"] == 1.0
+    assert np.isfinite(trace[-1])
 
 
 def test_mo_bo_validation_errors():

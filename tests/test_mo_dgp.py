@@ -50,9 +50,12 @@ def test_elbo_finite_and_loop_matters():
 def test_short_training_improves_elbo():
     X, Y, _ = mo_data()
     m = MultiObjDeepGP(X, Y, loop=2, num_samples=5)
+    # restarts=1: this is the natgrad-guard canary — keep the single
+    # unguarded trajectory it has always pinned (the "auto" default would
+    # escalate at this deliberately-short schedule and just rerun it 4x)
     losses = np.asarray(m.optimize_nat_adam(
         lr_adam=0.01, lr_gamma=0.01, iterations1=150, iterations2=50,
-        iterations3=50, messages=0,
+        iterations3=50, messages=0, restarts=1,
     ))
     assert np.all(np.isfinite(losses))
     # the per-step losses are MC-noisy; compare window means (loss = -ELBO)
@@ -93,6 +96,74 @@ def test_ehvi_on_mo_dgp_and_dgp_list():
                             approximation="None", S=30,
                             key=jax.random.PRNGKey(1)))
     assert vals2.shape == (2, 1) and np.all(np.isfinite(vals2))
+
+
+def test_ehvi_on_gpr_list():
+    """Independent exact-GPR pair (beyond-reference surrogate form): the
+    two_gpr branch must feed the ANALYTIC GP posterior moments into the
+    exact estimator, and the sampling estimators must run off independent
+    Gaussian draws at those moments."""
+    from dgp_tpu.bo import ehvi as ehvi_mod
+    from dgp_tpu.models.gpr import GPR
+    from dgp_tpu.ops import kernels as K
+
+    X, Y, _ = mo_data()
+    models = [GPR((X[0], np.asarray(Y[i])),
+                  K.RBF.create(lengthscales=[1.0]), noise_variance=1e-4)
+              for i in range(2)]
+    for m in models:
+        m.optimize_adam(iterations=100, lr=0.01)
+    C = -np.ones((10, 1))
+    NDT = NDC([np.asarray(Y[0]), np.asarray(Y[1])], C, obj1_ascending=False)
+    YND = Y_ND([np.asarray(Y[0]), np.asarray(Y[1])], NDT,
+               nadir=(4.0, 4.0), ideal=(-4.0, -4.0))
+    Xcand = np.array([[0.0], [0.5]])
+
+    exact = np.asarray(EHVI(models, Xcand, YND, approximation="None", S=10))
+    assert exact.shape == (2, 1) and np.all(np.isfinite(exact))
+    assert np.all(exact >= 0)
+
+    # pin the moment plumbing: the two_gpr state must surface exactly the
+    # models' own analytic predict_f posteriors (the estimator math on top
+    # of these moments is MC-pinned in test_ehvi.py)
+    kind, loop, state = ehvi_mod._mo_model_state(models)
+    assert kind == "two_gpr"
+    manual = ehvi_mod._mo_moments_and_samples_pure(
+        kind, loop, state, jnp.asarray(Xcand), 10, jax.random.PRNGKey(0),
+        False)
+    m0, v0 = models[0].predict_f(Xcand)
+    m1, v1 = models[1].predict_f(Xcand)
+    for got_mom, want_mom in zip(manual[:4], (m0, v0, m1, v1)):
+        np.testing.assert_allclose(np.asarray(got_mom), np.asarray(want_mom),
+                                   rtol=1e-12)
+    # KDE/Gaussian-corr need samples: [S, n, 2], finite
+    samp = ehvi_mod._mo_moments_and_samples_pure(
+        kind, loop, state, jnp.asarray(Xcand), 16, jax.random.PRNGKey(1),
+        True)[4]
+    assert samp.shape == (16, 2, 2) and bool(jnp.all(jnp.isfinite(samp)))
+
+    kde = np.asarray(EHVI(models, Xcand, YND, approximation="KDE", S=4000,
+                          key=jax.random.PRNGKey(3)))
+    gauss = np.asarray(EHVI(models, Xcand, YND, corr=True,
+                            approximation="Gaussian", S=256,
+                            key=jax.random.PRNGKey(4)))
+    assert np.all(np.isfinite(kde)) and np.all(np.isfinite(gauss))
+
+    # optimize_EHVI accepts the pair
+    x_opt = optimize_EHVI(models, YND, popsize_DE=20, iterations_DE=10, S=10,
+                          method="DE", key=jax.random.PRNGKey(5))
+    assert x_opt.shape == (1, 1) and np.isfinite(x_opt[0, 0])
+
+    # mixed lists are rejected
+    import pytest
+
+    from dgp_tpu.models.dgp import DGP
+
+    d = DGP(X[0], Y[0], X[0][:5].copy(),
+            [K.RBF.create(lengthscales=[1.0]) for _ in range(2)], [1],
+            num_samples=2)
+    with pytest.raises(ValueError):
+        EHVI([models[0], d], Xcand, YND, approximation="None", S=5)
 
 
 def test_optimize_ehvi_smoke():
@@ -235,6 +306,65 @@ def test_restart_nan_score_never_wins(monkeypatch):
         for a, b in zip(jax.tree_util.tree_leaves(loaded),
                         jax.tree_util.tree_leaves(m.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_auto_escalation_single_run_matches_restarts1(monkeypatch):
+    """restarts='auto' (the default) with a good first fit runs the schedule
+    exactly once and reproduces the restarts=1 run bit-exactly — restart 0
+    keeps both the published init AND the unmodified MC key stream."""
+    rng = np.random.default_rng(5)
+    X = rng.uniform(0, 1, (10, 1))
+    Y = [np.sin(3 * X), np.cos(2 * X)]
+    kw = dict(iterations1=4, iterations2=4, iterations3=8, messages=0)
+
+    m1 = MultiObjDeepGP([X, X.copy()], Y, loop=1, num_samples=2, seed=2)
+    l1 = np.asarray(m1.optimize_nat_adam(restarts=1, **kw))
+
+    calls = []
+    orig = MultiObjDeepGP._nat_adam_guarded
+
+    def counting(self, *a, **k):
+        calls.append(1)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(MultiObjDeepGP, "_nat_adam_guarded", counting)
+    monkeypatch.setattr(MultiObjDeepGP, "_restart_score",
+                        lambda self, crit, key: 0.99)
+    m2 = MultiObjDeepGP([X, X.copy()], Y, loop=1, num_samples=2, seed=2)
+    l2 = np.asarray(m2.optimize_nat_adam(**kw))  # default restarts="auto"
+    assert len(calls) == 1
+    np.testing.assert_array_equal(l1, l2)
+    for a, b in zip(jax.tree_util.tree_leaves(m1.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_auto_escalation_restarts_until_threshold(monkeypatch):
+    """A bad-basin fit score below restart_threshold triggers further
+    restarts; escalation stops at the first candidate above threshold (not
+    at max_restarts) and keeps the best-scoring candidate."""
+    rng = np.random.default_rng(5)
+    X = rng.uniform(0, 1, (10, 1))
+    Y = [np.sin(3 * X), np.cos(2 * X)]
+    m = MultiObjDeepGP([X, X.copy()], Y, loop=1, num_samples=2, seed=2)
+
+    scores = iter([0.3, 0.5, 0.95, 999.0])
+    seen = []
+
+    def fake_score(self, criterion, eval_key):
+        assert criterion == "fit"  # auto always thresholds on the r2 scale
+        s = next(scores)
+        seen.append((s, self.params))
+        return s
+
+    monkeypatch.setattr(MultiObjDeepGP, "_restart_score", fake_score)
+    m.optimize_nat_adam(iterations1=2, iterations2=2, iterations3=4,
+                        messages=0)  # default restarts="auto"
+    assert len(seen) == 3  # stopped at the 0.95 candidate, not max_restarts=4
+    want = seen[2][1]
+    for a, b in zip(jax.tree_util.tree_leaves(m.params),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_restart_init_jitter():

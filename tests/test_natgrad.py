@@ -196,6 +196,14 @@ def test_loss_guard_margin_and_retry():
 
     # a 50x same-key worsening is inside the margin -> accepted
     assert moved(run(50.0))
+    # boundary pins for the EXACT margin 100*|loss_before|+1e4 (here
+    # loss_before ~= 50.2 -> margin ~= 15020): a +14000 worsening must be
+    # accepted and a +16000 worsening frozen (the gamma/10 retry also moves
+    # past thresh, so it is rejected too). These fail if anyone nudges the
+    # 100x factor or the +1e4 floor in natgrad.py without noticing.
+    assert moved(run(281.0))  # worsen = 50*(281-1) = 14000 < margin
+    res = run(321.0)  # worsen = 50*(321-1) = 16000 > margin
+    np.testing.assert_allclose(np.asarray(res[0]), np.asarray(q_mu0))
     # a 1e6x worsening rejects the full step AND its gamma/10 retry -> frozen
     res = run(1e6)
     np.testing.assert_allclose(np.asarray(res[0]), np.asarray(q_mu0))

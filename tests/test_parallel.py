@@ -380,6 +380,122 @@ def test_sharded_mf_minibatch_statistical_equivalence():
         v_full.mean(), v_mb.mean(), se)
 
 
+def _grad_proj_over_keys(loss_fn, params, batch, n_keys, seed=0):
+    """Scalar projection <grad(loss), v> per MC key, v a fixed random
+    direction. The projection touches every parameter leaf, so any sharded
+    weighting/scaling bug in any term shifts its mean."""
+    rng = np.random.default_rng(99)
+    vs = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.normal(size=a.shape), a.dtype), params)
+
+    def proj(k):
+        g = jax.grad(lambda p: loss_fn(p, k, batch))(params)
+        return sum(jnp.vdot(a, b)
+                   for a, b in zip(jax.tree_util.tree_leaves(g),
+                                   jax.tree_util.tree_leaves(vs)))
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_keys)
+    return np.asarray(jax.jit(lambda ks: jax.lax.map(proj, ks))(keys))
+
+
+def _assert_means_close(a, b, n_se=5, label=""):
+    assert np.all(np.isfinite(a)) and np.all(np.isfinite(b)), label
+    se = np.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+    assert abs(a.mean() - b.mean()) < n_se * se + 1e-9, (
+        label, a.mean(), b.mean(), se)
+
+
+def _em_models(mesh=None, minibatch_size=None):
+    from dgp_tpu.bo.doe import lhs
+    from dgp_tpu.models.mf_dgp_em import MultiFidelityDeepGP_EM
+    from dgp_tpu.utils.test_functions import park_vd_high, park_vd_low
+
+    X = [lhs(2, 12, seed=123), lhs(4, 5, seed=0)]
+    Y = [park_vd_low(X[0]), park_vd_high(X[1])]
+    X_red = [X[1][:, :2]]
+    return MultiFidelityDeepGP_EM(X, Y, X_red, num_samples=2, seed=5,
+                                  mesh=mesh, minibatch_size=minibatch_size)
+
+
+def test_sharded_em_loss_and_grad_statistical_equivalence():
+    """MF-DGP-EM sharded full-batch loss AND gradients must be the same
+    estimator as the single-device loss: identical params (same seed), means
+    over MC keys agree within 5 SE. The EM projection term's
+    (N_{f+1}/B_{f+1})*(N_{f+1}/N_f) scale (mf_dgp_em.elbo) is exactly what a
+    weighted shard could silently rescale — a mean shift here catches it."""
+    em_single = _em_models()
+    em_mesh = _em_models(mesh=make_mesh(8))
+    for a, b in zip(jax.tree_util.tree_leaves(em_single.params),
+                    jax.tree_util.tree_leaves(em_mesh.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    ls, bs = em_single._loss_spec()
+    lm, bm = em_mesh._loss_spec()
+    _assert_means_close(_loss_over_keys(ls, em_single.params, bs, 256),
+                        _loss_over_keys(lm, em_mesh.params, bm, 256, seed=1),
+                        label="em loss")
+    _assert_means_close(
+        _grad_proj_over_keys(ls, em_single.params, bs, 192),
+        _grad_proj_over_keys(lm, em_mesh.params, bm, 192, seed=1),
+        label="em grad")
+
+
+def test_sharded_mo_loss_and_grad_statistical_equivalence():
+    """MO-DGP sharded full-batch loss AND gradients vs single device — the
+    per-objective data-term scale is the sharding-sensitive piece."""
+    from dgp_tpu.models.mo_dgp import MultiObjDeepGP
+
+    rng = np.random.default_rng(16)
+    Xm = rng.uniform(0, 1, (10, 1))
+    Ys = [np.sin(3 * Xm), np.cos(2 * Xm)]
+    build = lambda **kw: MultiObjDeepGP([Xm, Xm.copy()], Ys, loop=1,
+                                        num_samples=2, seed=5, **kw)
+    mo_single, mo_mesh = build(), build(mesh=make_mesh(8))
+    for a, b in zip(jax.tree_util.tree_leaves(mo_single.params),
+                    jax.tree_util.tree_leaves(mo_mesh.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    ls, bs = mo_single._loss_spec()
+    lm, bm = mo_mesh._loss_spec()
+    _assert_means_close(_loss_over_keys(ls, mo_single.params, bs, 256),
+                        _loss_over_keys(lm, mo_mesh.params, bm, 256, seed=1),
+                        label="mo loss")
+    _assert_means_close(
+        _grad_proj_over_keys(ls, mo_single.params, bs, 192),
+        _grad_proj_over_keys(lm, mo_mesh.params, bm, 192, seed=1),
+        label="mo grad")
+
+
+def test_sharded_em_minibatch_statistical_equivalence():
+    """Sharded per-fidelity minibatch EM loss (incl. the lockstep X_red index
+    draw) must agree in expectation with the sharded full-batch EM loss."""
+    em_full = _em_models(mesh=make_mesh(8))
+    em_mb = _em_models(mesh=make_mesh(8), minibatch_size=[8, 4])
+    lf, bf = em_full._loss_spec()
+    lb, bb = em_mb._loss_spec()
+    _assert_means_close(_loss_over_keys(lf, em_full.params, bf, 256),
+                        _loss_over_keys(lb, em_mb.params, bb, 256, seed=1),
+                        label="em minibatch")
+
+
+def test_sharded_mo_minibatch_statistical_equivalence():
+    """Sharded per-objective minibatch MO loss vs sharded full batch."""
+    from dgp_tpu.models.mo_dgp import MultiObjDeepGP
+
+    rng = np.random.default_rng(17)
+    Xm = rng.uniform(0, 1, (10, 1))
+    Ys = [np.sin(3 * Xm), np.cos(2 * Xm)]
+    build = lambda **kw: MultiObjDeepGP([Xm, Xm.copy()], Ys, loop=1,
+                                        num_samples=2, seed=5,
+                                        mesh=make_mesh(8), **kw)
+    mo_full, mo_mb = build(), build(minibatch_size=[6, 6])
+    lf, bf = mo_full._loss_spec()
+    lb, bb = mo_mb._loss_spec()
+    _assert_means_close(_loss_over_keys(lf, mo_full.params, bf, 256),
+                        _loss_over_keys(lb, mo_mb.params, bb, 256, seed=1),
+                        label="mo minibatch")
+
+
 def test_sharded_em_and_mo_minibatch_training():
     """MF-DGP-EM and MO-DGP with mesh + minibatch_size: full staged schedules
     run finite through the public API (the EM L_red term reuses fidelity f+1's
