@@ -66,7 +66,8 @@ def main():
     full = "--full" in sys.argv
     restarts = 1
     if "--restarts" in sys.argv:
-        restarts = int(sys.argv[sys.argv.index("--restarts") + 1])
+        v = sys.argv[sys.argv.index("--restarts") + 1]
+        restarts = v if v == "auto" else int(v)
     results = []
     for seed in (0, 1, 2, 3):
         out = run(seed, full=full, restarts=restarts)
@@ -81,7 +82,7 @@ def main():
                 prior = json.load(f)
             if isinstance(prior, dict):
                 tag = ("full" if full else "short") + \
-                    (f"_restarts{restarts}" if restarts > 1 else "")
+                    ("" if restarts == 1 else f"_restarts{restarts}")
                 prior[tag] = results
                 merged = prior
         except Exception:

@@ -155,12 +155,17 @@ def run_mo(fast):
     Y1 = (F[:, 1:2] - F[:, 1:2].mean(0)) / F[:, 1:2].std(0)
     model = MultiObjDeepGP([X, X.copy()], [Y0, Y1], loop=2, num_samples=10)
     t0 = time.perf_counter()
+    # restarts=1 pins the single published-style trajectory this family
+    # table has always recorded (the "auto" default would escalate at this
+    # short seed-sensitive schedule)
     if fast:
         losses = model.optimize_nat_adam(iterations1=200, iterations2=0,
-                                         iterations3=0, messages=0)
+                                         iterations3=0, messages=0,
+                                         restarts=1)
     else:
         losses = model.optimize_nat_adam(iterations1=200, iterations2=300,
-                                         iterations3=800, messages=0)
+                                         iterations3=800, messages=0,
+                                         restarts=1)
     wall = time.perf_counter() - t0
     r2s = {}
     for obj, Yt in ((0, Y0), (1, Y1)):

@@ -49,8 +49,10 @@ def main(iterations=3, fast=True):
         Yn = [(f - f.mean(0)) / f.std(0) for f in F]
         model = MultiObjDeepGP([Xn, Xn.copy()], Yn, loop=2, num_samples=5,
                                seed=it)
+        # restarts=1: this script mirrors the bare notebook cells; the
+        # "auto" escalation default is exercised in tests/test_mo_dgp.py
         model.optimize_nat_adam(iterations1=its[0], iterations2=its[1],
-                                iterations3=its[2], messages=0)
+                                iterations3=its[2], messages=0, restarts=1)
 
         NDT = NDC(F, C_, obj1_ascending=False)
         b = problem.bounds

@@ -54,8 +54,12 @@ def main(fast=False):
         schedule = dict(iterations1=200, iterations2=0, iterations3=0)
     else:
         schedule = dict(iterations1=200, iterations2=300, iterations3=800)
+    # restarts=1: this script pins the bare published trajectory (the
+    # measured r2 oracles below are for the single run); the default
+    # restarts="auto" escalation is validated separately in
+    # tests/test_mo_dgp.py and benchmarks/mo_seeds.py
     losses = np.asarray(model.optimize_nat_adam(
-        lr_adam=0.01, lr_gamma=0.01, messages=100, **schedule,
+        lr_adam=0.01, lr_gamma=0.01, messages=100, restarts=1, **schedule,
     ))
     print(f"ELBO: {-losses[0]:.4g} -> {-np.mean(losses[-20:]):.4g} "
           "(published init -1.744e8 on its own DoE)")
