@@ -92,6 +92,66 @@ def chol_pallas(Kstack):
     return jnp.swapaxes(U, -1, -2)  # L = U^T
 
 
+def _chol_inv_kernel(a_ref, u_ref, w_ref):
+    """Fused factorize + invert: U = chol(A)^T and W = L^{-1} in one pass.
+
+    The inverse rides the same forward sweep: with L = U^T, forward
+    substitution for L W = I gives row j as
+    W[j, :] = (e_j - (U[:j, j])^T W[:j, :]) / U[j, j]; the strict column
+    U[:j, j] is extracted by a lane mask + reduce, the matvec is a second
+    K=1-class dot per step. This is exactly the chol+trsm precompute pair of
+    ops/conditionals.precompute_projections (white path) in one kernel."""
+    m = a_ref.shape[0]
+    A0 = a_ref[...]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+
+    def body(j, carry):
+        A, U, W = carry
+        row = jax.lax.dynamic_slice(A, (j, 0), (1, m))
+        ajj = jnp.sum(jnp.where(lane1 == j, row, 0.0))
+        rinv = jax.lax.rsqrt(ajj)
+        u = jnp.where(lane1 >= j, row * rinv, 0.0)
+        outer = jax.lax.dot_general(
+            u, u, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        A = A - outer
+        U = jnp.where(row_iota == j, jnp.broadcast_to(u, (m, m)), U)
+        # inverse row: col = U[:j, j] (strictly above the pivot)
+        col = jnp.sum(
+            jnp.where((lane_iota == j) & (row_iota < j), U, 0.0),
+            axis=1, keepdims=True)  # [m, 1]
+        s = jax.lax.dot_general(
+            col, W, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [1, m]
+        e_j = jnp.where(lane1 == j, 1.0, 0.0)
+        w = (e_j - s) * rinv
+        W = jnp.where(row_iota == j, jnp.broadcast_to(w, (m, m)), W)
+        return A, U, W
+
+    zero = jnp.zeros_like(A0)
+    _, U, W = jax.lax.fori_loop(0, m, body, (A0, zero, zero))
+    u_ref[...] = U
+    w_ref[...] = W
+
+
+def chol_inv_pallas(Kstack):
+    """(L, L^{-1}) of a [G, M, M] PD stack in one fused kernel."""
+    g, m, _ = Kstack.shape
+    U, W = pl.pallas_call(
+        _chol_inv_kernel,
+        grid=(g,),
+        in_specs=[pl.BlockSpec((None, m, m), lambda i: (i, 0, 0))],
+        out_specs=[pl.BlockSpec((None, m, m), lambda i: (i, 0, 0)),
+                   pl.BlockSpec((None, m, m), lambda i: (i, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((g, m, m), Kstack.dtype),
+                   jax.ShapeDtypeStruct((g, m, m), Kstack.dtype)],
+        interpret=_INTERPRET,
+    )(Kstack)
+    return jnp.swapaxes(U, -1, -2), W
+
+
 def _spd_stack(g=G, m=M, seed=0, dtype=jnp.float32):
     rng = np.random.default_rng(seed)
     B = rng.normal(size=(g, m, m))
@@ -108,7 +168,13 @@ def check_correctness():
     err = np.max(np.abs(L - L_ref)) / np.max(np.abs(L_ref))
     print(f"max rel err vs XLA cholesky: {err:.3e}")
     assert err < 5e-6, err
-    return err
+    L2, W = chol_inv_pallas(K)
+    err2 = np.max(np.abs(np.asarray(L2) - L_ref)) / np.max(np.abs(L_ref))
+    eye_err = np.max(np.abs(np.asarray(W @ L2)
+                            - np.eye(K.shape[-1])[None]))
+    print(f"fused kernel: chol rel err {err2:.3e}, |W@L - I| {eye_err:.3e}")
+    assert err2 < 5e-6 and eye_err < 1e-4, (err2, eye_err)
+    return max(err, err2)
 
 
 def _chain_time(fn, K, iters=ITERS):
@@ -162,6 +228,7 @@ def main():
         return jsl.solve_triangular(L, eye, lower=True)
 
     t_pair = _chain_time(chol_trsm, K)
+    t_fused = _chain_time(lambda Kc: chol_inv_pallas(Kc)[0], K)
 
     result = {
         "shape": [G, M, M], "iters": ITERS, "platform": dev,
@@ -169,7 +236,9 @@ def main():
         "xla_chol_us": round(t_xla * 1e6, 2),
         "pallas_chol_us": round(t_pal * 1e6, 2),
         "xla_chol_plus_trsm_us": round(t_pair * 1e6, 2),
+        "pallas_fused_chol_inv_us": round(t_fused * 1e6, 2),
         "speedup_chol": round(t_xla / t_pal, 3),
+        "speedup_pair": round(t_pair / t_fused, 3),
     }
     print(json.dumps(result, indent=1))
     out = os.path.join(os.path.dirname(__file__), "chol_probe.json")

@@ -83,9 +83,11 @@ def run_cell(config_name, problem_name, seed, fast=False):
         "config": config_name, "problem": problem_name, "seed": seed,
         "infills": infills, "hv_trace": [float(h) for h in trace],
         "hv_final": float(trace[-1]), "hv_doe": float(trace[0]),
-        "hv_max": float(problem.hv_max),
-        "hv_gap_closed": float((trace[-1] - trace[0])
-                               / max(problem.hv_max - trace[0], 1e-12)),
+        # NOTE: problem.hv_max is NOT a usable normalizer — the reference
+        # copy-pastes 0.47941844 across unrelated problems
+        # (problems_MO.py:7,17,28,38,48); compare configs by hv_gain at the
+        # same seed (identical DoE -> identical hv_doe)
+        "hv_gain": float(trace[-1] - trace[0]),
         "wall_s": round(wall, 2), "fast": bool(fast),
     }
 
@@ -131,9 +133,9 @@ def main():
                     json.dump({"cells": results}, f, indent=1)
                 os.replace(out_path + ".tmp", out_path)
 
-    # summary table: mean final HV + mean gap-closed + wall per config
+    # summary table: mean final HV + mean HV gain + wall per config
     print("\nconfig              problem            mean_final_hv  "
-          "mean_gap_closed  mean_wall_s")
+          "mean_hv_gain  mean_wall_s")
     for cfg in configs:
         for prob in problems:
             cells = [r for r in results
@@ -143,7 +145,7 @@ def main():
                 continue
             print(f"{cfg:<19} {prob:<18} "
                   f"{np.mean([c['hv_final'] for c in cells]):>13.4f}  "
-                  f"{np.mean([c['hv_gap_closed'] for c in cells]):>15.4f}  "
+                  f"{np.mean([c.get('hv_gain', c['hv_final'] - c['hv_doe']) for c in cells]):>12.4f}  "
                   f"{np.mean([c['wall_s'] for c in cells]):>11.1f}")
 
 
