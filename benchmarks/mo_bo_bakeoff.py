@@ -126,7 +126,7 @@ def main():
                 print(f"== {cfg} / {prob} / seed {seed}", flush=True)
                 cell = run_cell(cfg, prob, seed, fast=fast)
                 print(f"   HV {cell['hv_doe']:.4f} -> {cell['hv_final']:.4f}"
-                      f" (max {cell['hv_max']:.4f}),"
+                      f" (gain {cell['hv_gain']:+.4f}),"
                       f" {cell['wall_s']:.1f}s", flush=True)
                 results.append(cell)
                 with open(out_path + ".tmp", "w") as f:
