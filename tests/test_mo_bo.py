@@ -135,6 +135,25 @@ def test_mo_bo_independent_gpr_surrogates():
         assert bo2.model_dic["num_layers"] == 0
 
 
+def test_mo_bo_default_model_dic_is_independent_gpr():
+    """model_dic=None resolves to DEFAULT_MODEL_DIC (the bake-off winner:
+    two exact GPRs, benchmarks/mo_bo_bakeoff.json); an explicit dict
+    WITHOUT 'type' keeps its historical coupled-MO-DGP meaning."""
+    from dgp_tpu.bo.mo_bo import DEFAULT_MODEL_DIC
+    from dgp_tpu.models.mo_dgp import MultiObjDeepGP
+
+    bo = MO_BO(problem=get("multi_obj_1D_4"), DoE_size=10, seed=0)
+    assert bo.model_dic == DEFAULT_MODEL_DIC
+    model = bo.make_model(*bo._normalized()[:2], seed=0)
+    assert isinstance(model, list) and [m.name for m in model] == [
+        "gpr", "gpr"]
+
+    bo_legacy = MO_BO(problem=get("multi_obj_1D_4"), DoE_size=10,
+                      model_dic={"loop": 1, "num_samples": 3}, seed=0)
+    legacy = bo_legacy.make_model(*bo_legacy._normalized()[:2], seed=0)
+    assert isinstance(legacy, MultiObjDeepGP)
+
+
 def test_mo_bo_independent_dgp_surrogates():
     """num_layers>=1 builds two independent DGPs trained by the 2-phase
     Adam->NatGrad trainer with (sched[0], sched[1])."""
