@@ -330,6 +330,60 @@ def _ehvi_pure(kind, loop, corr, approximation, S, state, Xcand, Y0, Y1, key):
     raise ValueError(f"unknown approximation {approximation!r}")
 
 
+def _pof_pure(con_states, zero_n, Xcand):
+    """Product of per-constraint probabilities of feasibility at Xcand.
+
+    :param con_states: static-length tuple of (GPRParams, train_data), one
+        exact-GPR surrogate per constraint (analytic predict_y moments, the
+        same surrogate form SO_BO's constraint handling trains).
+    :param zero_n: [n_con] feasibility thresholds in each surrogate's
+        normalized output space — the image of 0 under that constraint
+        column's normalization (feasible = g(x) <= 0, the NDC sign
+        convention).
+    :return: [n] prod_i P(g_i(x) <= 0).
+    """
+    from ..models import gpr as gpr_mod
+
+    pof = 1.0
+    for i, (p, dta) in enumerate(con_states):
+        m, v = gpr_mod.predict_y(p, dta, Xcand)
+        s = jnp.sqrt(jnp.maximum(v[:, 0], 1e-12))
+        pof = pof * norm.cdf((zero_n[i] - m[:, 0]) / s)
+    return pof
+
+
+@functools.lru_cache(maxsize=None)
+def _neg_ehvi_pof_loss(kind, loop, corr, approximation, S, n_con):
+    """-(EHVI * prod PoF) over the sigmoid box map — the standard
+    constrained-EHVI acquisition (the multi-objective analogue of
+    acquisition.PoF.run_with_IC's EI*PoF). EHVI >= 0 by construction, so
+    the product needs no clamping; cached per static signature like
+    :func:`_neg_ehvi_loss` so the DE/Adam engines stay compile-stable."""
+
+    def loss(V, args):
+        lw, up, state, Y0, Y1, cstates, zero_n, key = args
+        x = sigmoid_box_map(lw, up, V)
+        ehvi = _ehvi_pure(kind, loop, corr, approximation, S,
+                          state, x, Y0, Y1, key).reshape(-1)
+        return -(ehvi * _pof_pure(cstates, zero_n, x))
+
+    return loss
+
+
+@functools.lru_cache(maxsize=None)
+def _neg_pof_loss(n_con):
+    """-prod PoF alone: the fallback acquisition while the archive has no
+    feasible point yet (EHVI is undefined without a front; maximizing the
+    probability of feasibility is the standard bootstrap)."""
+
+    def loss(V, args):
+        lw, up, cstates, zero_n = args
+        x = sigmoid_box_map(lw, up, V)
+        return -_pof_pure(cstates, zero_n, x)
+
+    return loss
+
+
 @functools.lru_cache(maxsize=None)
 def _neg_ehvi_loss(kind, loop, corr, approximation, S):
     """Stable -EHVI objective over the sigmoid box map for the cached DE/Adam
@@ -348,10 +402,19 @@ def _neg_ehvi_loss(kind, loop, corr, approximation, S):
 def optimize_EHVI(model, YND, popsize_DE=300, popstd_DE=1.5, iterations_DE=400,
                   init_adam=None, lr_adam=0.01, iterations_adam=1000,
                   method="DE", corr=False, approximation="None", S=1000,
-                  bounds=(0.0, 1.0), key=None):
+                  bounds=(0.0, 1.0), key=None, model_C=None, zero_c=None):
     """Maximize EHVI over the box via DE and/or Adam on the sigmoid map
     (EHVI.py:208-235; fixes the swapped DE population args at line 216).
 
+    :param model_C: optional list of trained exact-GPR constraint
+        surrogates; the acquisition becomes the constrained
+        EHVI(x) * prod_i PoF_i(x) (beyond reference — the reference
+        handles constraints only in its single-objective loop).
+    :param zero_c: [n_con] feasibility thresholds in each constraint
+        surrogate's (normalized) output space; required with ``model_C``.
+    :param YND: padded descending front, or ``None`` (only with
+        ``model_C``) to maximize the probability of feasibility alone —
+        the bootstrap acquisition while the archive has no feasible point.
     :return: x_opt [1, d]
     """
     key = key if key is not None else jax.random.PRNGKey(0)
@@ -362,11 +425,33 @@ def optimize_EHVI(model, YND, popsize_DE=300, popstd_DE=1.5, iterations_DE=400,
     up = jnp.full((d,), bounds[1], dtype=dtype)
     key, k_mc, k_de = jax.random.split(key, 3)
 
-    kind, loop, state = _mo_model_state(model)
-    fct = _neg_ehvi_loss(kind, loop, corr, approximation, S)
-    Y0 = jnp.asarray(np.asarray(YND[0]).reshape(-1), dtype=dtype)
-    Y1 = jnp.asarray(np.asarray(YND[1]).reshape(-1), dtype=dtype)
-    fct_args = (lw, up, state, Y0, Y1, k_mc)
+    if model_C is not None:
+        names = [getattr(m, "name", None) for m in model_C]
+        if any(n != "gpr" for n in names):
+            raise ValueError(
+                f"constraint surrogates must be exact GPRs, got {names}")
+        if zero_c is None:
+            raise ValueError("zero_c is required with model_C")
+        cstates = tuple((m.params, m.train_data) for m in model_C)
+        zn = jnp.asarray(np.asarray(zero_c).reshape(-1), dtype=dtype)
+        if YND is None:
+            fct = _neg_pof_loss(len(cstates))
+            fct_args = (lw, up, cstates, zn)
+        else:
+            kind, loop, state = _mo_model_state(model)
+            fct = _neg_ehvi_pof_loss(kind, loop, corr, approximation, S,
+                                     len(cstates))
+            Y0 = jnp.asarray(np.asarray(YND[0]).reshape(-1), dtype=dtype)
+            Y1 = jnp.asarray(np.asarray(YND[1]).reshape(-1), dtype=dtype)
+            fct_args = (lw, up, state, Y0, Y1, cstates, zn, k_mc)
+    else:
+        if YND is None:
+            raise ValueError("YND=None requires constraint surrogates")
+        kind, loop, state = _mo_model_state(model)
+        fct = _neg_ehvi_loss(kind, loop, corr, approximation, S)
+        Y0 = jnp.asarray(np.asarray(YND[0]).reshape(-1), dtype=dtype)
+        Y1 = jnp.asarray(np.asarray(YND[1]).reshape(-1), dtype=dtype)
+        fct_args = (lw, up, state, Y0, Y1, k_mc)
 
     x_opt = None
     if method in ("DE", "DE+Adam"):

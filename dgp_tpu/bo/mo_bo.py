@@ -63,10 +63,20 @@ class MO_BO:
     :param X, F: optional known DoE — X [n, d] and F a list of two [n, 1]
         objective columns; otherwise an LHS DoE of ``DoE_size`` points is
         generated and evaluated.
+    :param C: optional known [n, n_con] constraint values for a constrained
+        problem's DoE (<= 0 feasible); recomputed from ``problem.cons``
+        when omitted.
+    :param model_C_dic: constraint-surrogate spec for constrained problems
+        ({'kernels': 'rbf', 'iterations': 2000} default) — one exact GPR
+        per constraint, trained per infill like SO_BO's constraint models;
+        the acquisition becomes EHVI(x) * prod_i PoF_i(x), with a PoF-only
+        bootstrap while the archive has no feasible point. Beyond
+        reference: the reference handles constraints only in SO_BO.
     """
 
-    def __init__(self, problem=None, X=None, F=None, DoE_size=None,
+    def __init__(self, problem=None, X=None, F=None, C=None, DoE_size=None,
                  model_dic: Optional[dict] = None,
+                 model_C_dic: Optional[dict] = None,
                  seed: Optional[int] = None, n_bucket: Optional[int] = 8):
         if problem is None:
             raise ValueError("You have to specify a problem to optimize")
@@ -76,6 +86,13 @@ class MO_BO:
         # dict without 'type' keeps meaning the notebook's coupled MO-DGP
         self.model_dic = dict(DEFAULT_MODEL_DIC if model_dic is None
                               else model_dic)
+        # constrained problems (problem.cons nonempty, g_i(x) <= 0
+        # feasible): one exact-GPR surrogate per constraint, and the
+        # acquisition becomes EHVI * prod PoF (bo/ehvi.py; beyond reference
+        # — the reference handles constraints only in SO_BO)
+        self.n_con = int(getattr(problem, "n_con", 0) or 0)
+        self.model_C_dic = dict(model_C_dic
+                                or {"kernels": "rbf", "iterations": 2000})
         self._seed = seed
         # pad the surrogate's data rows AND its default inducing rows to
         # multiples of n_bucket so the jitted training engines stay
@@ -91,14 +108,19 @@ class MO_BO:
                     "a known DoE (X, F)")
             X = lhs(self.d, DoE_size, seed=seed)
             F = self._evaluate(X)
+            C = self._evaluate_cons(X)
         else:
             X = np.array(X, copy=True)
             F = [np.array(f, copy=True).reshape(-1, 1) for f in F]
+            if self.n_con and C is None:
+                C = self._evaluate_cons(X)
         self.X = X
         self.F = F
-        # feasibility column for the reference's filtered non-dominated sort
-        # (NDC); the registry problems are unconstrained, so all rows pass
-        self.C = -np.ones((len(X), 1))
+        # feasibility column(s) for the reference's filtered non-dominated
+        # sort (NDC, feasible iff max <= 0): real constraint values for
+        # constrained problems, the all-pass -1 column otherwise
+        self.C = (np.array(C, copy=True).reshape(len(X), -1)
+                  if self.n_con else -np.ones((len(X), 1)))
 
         self.hv_trace: List[float] = [self._hv()]
         self.added_points: List[np.ndarray] = []
@@ -112,6 +134,37 @@ class MO_BO:
         rows = [self.problem.fun(x) for x in X]
         return [np.asarray([np.reshape(r[i], ()) for r in rows],
                            dtype=float).reshape(-1, 1) for i in (0, 1)]
+
+    def _evaluate_cons(self, X):
+        """[n, n_con] constraint values (<= 0 feasible), or None."""
+        if not self.n_con:
+            return None
+        return np.asarray([self.problem.con(x) for x in X], dtype=float)
+
+    def _make_train_con_models(self, Xn):
+        """Per-infill constraint surrogates: one exact GPR on each
+        normalized constraint column, plus the feasibility threshold in
+        that normalized space (the image of 0). Returns (None, None) for
+        unconstrained problems."""
+        if not self.n_con:
+            return None, None
+        if self.model_C_dic.get("num_layers", 0) != 0:
+            raise ValueError(
+                "MO_BO constraint surrogates are exact GPRs "
+                "(model_C_dic['num_layers'] must be 0 or absent)")
+        model_C, zero_n = [], []
+        for i in range(self.n_con):
+            c = self.C[:, i:i + 1]
+            spec = {"num_layers": 0,
+                    "kernels": self.model_C_dic.get("kernels", "rbf")}
+            m = make_single_model(spec, Xn, normalize(c),
+                                  n_bucket=self.n_bucket, seed=self._seed)
+            m.optimize_adam(
+                iterations=int(self.model_C_dic.get("iterations", 2000)),
+                lr=0.001)
+            model_C.append(m)
+            zero_n.append(float((0.0 - c.mean()) / _safe_std(c).item()))
+        return model_C, np.asarray(zero_n)
 
     def _next_run_key(self):
         import jax
@@ -236,6 +289,7 @@ class MO_BO:
             Xn, Fn, lw_n, up_n = self._normalized()
             model = self.make_model(Xn, Fn, seed=it)
             self._train_model(model, sched, restarts)
+            model_C, zero_n = self._make_train_con_models(Xn)
 
             # padded descending front in normalized objective space, with
             # the problem's hypervolume box mapped through the same
@@ -251,9 +305,13 @@ class MO_BO:
             # repeat the nadir corner up to the bucket: zero-width staircase
             # segments leave every EHVI estimator exactly unchanged
             # (test_pad_front_ehvi_invariant) but keep the jitted EHVI/DE
-            # engines compile-stable while the front grows
-            YND = pad_front(Y_ND(Fn, NDT, nadir=nadir, ideal=ideal),
-                            self.n_bucket)
+            # engines compile-stable while the front grows.
+            # Constrained problems can start with ZERO feasible rows — then
+            # there is no front and optimize_EHVI runs the PoF-only
+            # bootstrap (YND=None) until a feasible point lands
+            YND = (pad_front(Y_ND(Fn, NDT, nadir=nadir, ideal=ideal),
+                             self.n_bucket)
+                   if len(NDT) else None)
 
             x_opt_n = optimize_EHVI(
                 model, YND, method=method, popsize_DE=popsize_DE,
@@ -261,14 +319,17 @@ class MO_BO:
                 iterations_adam=iterations_adam,
                 approximation=approximation, S=S,
                 bounds=(lw_n, up_n),
-                key=self._next_run_key())
+                key=self._next_run_key(),
+                model_C=model_C, zero_c=zero_n)
             x_new = denormalize(x_opt_n, self.X)
             x_new = np.clip(x_new, 0.0, 1.0)
             f_new = self._evaluate(x_new)
+            c_new = self._evaluate_cons(x_new)
 
             self.X = np.vstack([self.X, x_new])
             self.F = [np.vstack([self.F[i], f_new[i]]) for i in (0, 1)]
-            self.C = np.vstack([self.C, [[-1.0]]])
+            self.C = np.vstack([self.C, c_new if self.n_con
+                                else [[-1.0]]])
             self.added_points.append(x_new)
             self.hv_trace.append(self._hv())
             self._iteration += 1
@@ -298,6 +359,7 @@ class MO_BO:
             # forgot to re-pass model_dic would otherwise silently retrain
             # with defaults, breaking exact continuation
             "model_dic": np.asarray(json.dumps(self.model_dic)),
+            "model_C_dic": np.asarray(json.dumps(self.model_C_dic)),
             "added_points": (np.concatenate(self.added_points, axis=0)
                              if self.added_points
                              else np.zeros((0, self.d))),
@@ -326,9 +388,12 @@ class MO_BO:
             n_bucket = int(data["n_bucket"]) or None
         else:
             n_bucket = 8
+        model_C_dic = (json.loads(str(data["model_C_dic"]))
+                       if "model_C_dic" in data.files else None)
         bo = cls(problem=problem, X=data["X"], F=[data["F0"], data["F1"]],
-                 model_dic=model_dic, seed=None if seed == -1 else seed,
-                 n_bucket=n_bucket)
+                 C=data["C"] if getattr(problem, "n_con", 0) else None,
+                 model_dic=model_dic, model_C_dic=model_C_dic,
+                 seed=None if seed == -1 else seed, n_bucket=n_bucket)
         bo.hv_trace = list(np.asarray(data["hv_trace"], dtype=float))
         bo._run_key = jax.numpy.asarray(data["run_key"])
         bo._iteration = int(data["iteration"])

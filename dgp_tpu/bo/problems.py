@@ -22,9 +22,23 @@ class MOProblem:
     bounds: Tuple[float, float, float, float]
     hv_max: float
     _fun: Callable = field(repr=False)
+    #: inequality constraints g_i(x) <= 0 feasible, x in [0, 1]^dim — the
+    #: same sign convention as the reference's feasibility column (the NDC
+    #: filter keeps rows with C.max() <= 0, EHVI.py:35-81). Empty for the
+    #: reference's 8 unconstrained problems.
+    cons: Tuple[Callable, ...] = ()
 
     def fun(self, x):
         return self._fun(np.asarray(x))
+
+    @property
+    def n_con(self) -> int:
+        return len(self.cons)
+
+    def con(self, x):
+        """[n_con] constraint values at one point (<= 0 feasible)."""
+        x = np.asarray(x)
+        return [float(np.reshape(g(x), ())) for g in self.cons]
 
 
 def _osc(x):
@@ -68,6 +82,50 @@ def _f_dtlz1a(x):
     return [-0.5 * x[1] * (1 + g), -0.5 * (1 - x[1]) * (1 + g)]
 
 
+# -- constrained bi-objective problems (beyond reference: the reference's
+# registry is unconstrained; these are the standard constrained test
+# problems of Binh & Korn (1997) and Srinivas & Deb (1994), mapped onto the
+# [0, 1]^2 design domain like every other registry problem) -------------------
+
+
+def _bnh_xy(x):
+    return 5.0 * x[0], 3.0 * x[1]
+
+
+def _f_bnh(x):
+    x1, x2 = _bnh_xy(x)
+    return [4 * x1**2 + 4 * x2**2, (x1 - 5) ** 2 + (x2 - 5) ** 2]
+
+
+def _g_bnh_1(x):
+    x1, x2 = _bnh_xy(x)
+    return (x1 - 5) ** 2 + x2**2 - 25.0
+
+
+def _g_bnh_2(x):
+    x1, x2 = _bnh_xy(x)
+    return 7.7 - (x1 - 8) ** 2 - (x2 + 3) ** 2
+
+
+def _srn_xy(x):
+    return 40.0 * x[0] - 20.0, 40.0 * x[1] - 20.0
+
+
+def _f_srn(x):
+    x1, x2 = _srn_xy(x)
+    return [(x1 - 2) ** 2 + (x2 - 1) ** 2 + 2, 9 * x1 - (x2 - 1) ** 2]
+
+
+def _g_srn_1(x):
+    x1, x2 = _srn_xy(x)
+    return x1**2 + x2**2 - 225.0
+
+
+def _g_srn_2(x):
+    x1, x2 = _srn_xy(x)
+    return x1 - 3 * x2 + 10.0
+
+
 _REGISTRY = {
     "multi_obj_1D": MOProblem("multi_obj_1D", 1, (-1.0, -1.0, 1.0, 3.0),
                               0.47941844, _f_1d),
@@ -84,6 +142,12 @@ _REGISTRY = {
     "deb6": MOProblem("deb6", 10, (0.0, 0.0, 1.0, 1.0), 0.32164096, _f_deb6),
     "dtlz1a": MOProblem("dtlz1a", 6, (-550.0, -550.0, 0.0, 0.0),
                         0.41692852, _f_dtlz1a),
+    # hv_max is unused/unreliable across the registry (the reference
+    # copy-pastes one constant, problems_MO.py:7-48); 0.0 marks "not set"
+    "bnh": MOProblem("bnh", 2, (0.0, 4.0, 140.0, 50.0), 0.0, _f_bnh,
+                     cons=(_g_bnh_1, _g_bnh_2)),
+    "srn": MOProblem("srn", 2, (0.0, -300.0, 300.0, 100.0), 0.0, _f_srn,
+                     cons=(_g_srn_1, _g_srn_2)),
 }
 
 

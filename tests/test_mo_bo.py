@@ -198,6 +198,87 @@ def test_mo_bo_default_auto_restarts(monkeypatch):
     assert np.isfinite(trace[-1])
 
 
+def test_constrained_problems_registry():
+    """BNH/SRN: constraint signs at hand-checked points (g <= 0 feasible,
+    the NDC convention)."""
+    bnh = get("bnh")
+    assert bnh.n_con == 2 and bnh.dim == 2
+    assert all(v <= 0 for v in bnh.con(np.array([0.2, 0.2])))  # feasible
+    assert bnh.con(np.array([0.0, 1.0]))[0] > 0  # outside the g1 disk
+    srn = get("srn")
+    assert srn.n_con == 2
+    assert srn.con(np.array([1.0, 0.0]))[0] > 0  # x=(20,-20): ||x|| > 15
+    assert all(v <= 0 for v in srn.con(np.array([0.4, 0.6])))
+    # unconstrained problems keep an empty cons tuple
+    assert get("multi_obj_1D_4").n_con == 0
+
+
+def test_pof_pure_orders_feasibility():
+    """A GPR trained on a linear constraint g(x) = x - 0.5 must give
+    PoF ~ 1 deep in the feasible half and ~ 0 deep in the infeasible half."""
+    import jax.numpy as jnp
+
+    from dgp_tpu.bo.ehvi import _pof_pure
+    from dgp_tpu.bo.so_bo import make_single_model, normalize
+
+    X = np.linspace(0, 1, 24)[:, None]
+    c = X - 0.5
+    m = make_single_model({"num_layers": 0, "kernels": "rbf"}, X,
+                          normalize(c), n_bucket=8, seed=0)
+    m.optimize_adam(iterations=300, lr=0.01)
+    zero_n = np.asarray([(0.0 - c.mean()) / c.std()])
+    pof = np.asarray(_pof_pure(
+        ((m.params, m.train_data),), jnp.asarray(zero_n),
+        jnp.asarray([[0.05], [0.5], [0.95]])))
+    assert pof[0] > 0.95 and pof[2] < 0.05
+    assert 0.2 < pof[1] < 0.8  # boundary: genuinely uncertain
+    assert pof[0] > pof[1] > pof[2]
+
+
+def test_mo_bo_constrained_loop_bnh():
+    """Constrained MO-BO end-to-end on BNH: real constraint columns flow
+    through NDC/HV, the cEHVI proposal appends constraint values, and the
+    checkpoint round-trips the constrained state."""
+    bo = MO_BO(problem=get("bnh"), DoE_size=12, seed=0)
+    assert bo.n_con == 2 and bo.C.shape == (12, 2)
+    trace = bo.run(2, **_fast_run_kwargs())
+    assert len(bo.X) == 14 and bo.C.shape == (14, 2)
+    assert all(b >= a - 1e-12 for a, b in zip(trace, trace[1:]))
+    assert np.isfinite(bo.C).all()
+    # the feasible-only front: every pareto() row satisfies both constraints
+    X_nd, F_nd = bo.pareto()
+    for x in X_nd:
+        assert all(v <= 0 for v in get("bnh").con(x))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "mo_bo_bnh.npz")
+        bo.save(path)
+        bo2 = MO_BO.load(path, get("bnh"))
+        assert np.allclose(bo2.C, bo.C)
+        assert bo2.model_C_dic == bo.model_C_dic
+        assert bo2.hv_trace == bo.hv_trace
+
+
+def test_mo_bo_pof_bootstrap_without_feasible_point():
+    """An all-infeasible DoE has no front: the loop must fall back to
+    maximizing the probability of feasibility instead of crashing, and the
+    DoE hypervolume is 0 (empty feasible front)."""
+    problem = get("srn")
+    rng = np.random.default_rng(0)
+    # x1 in [0.95, 1] -> 18 <= x1' <= 20; x2 in [0, 0.05] -> x2' ~ -20:
+    # ||x'|| > 15 violates g1 everywhere in this patch
+    X = np.column_stack([rng.uniform(0.95, 1.0, 8),
+                         rng.uniform(0.0, 0.05, 8)])
+    F_rows = [problem.fun(x) for x in X]
+    F = [np.asarray([r[i] for r in F_rows], dtype=float).reshape(-1, 1)
+         for i in (0, 1)]
+    bo = MO_BO(problem=problem, X=X, F=F, seed=0)
+    assert (bo.C[:, 0] > 0).all()
+    assert bo.hv_trace[0] == 0.0
+    trace = bo.run(1, **_fast_run_kwargs())
+    assert len(bo.X) == 9 and bo.C.shape == (9, 2)
+    assert np.isfinite(trace[-1])
+
+
 def test_mo_bo_validation_errors():
     with pytest.raises(ValueError):
         MO_BO()
