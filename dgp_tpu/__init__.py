@@ -1,7 +1,7 @@
 """dgp_tpu — a TPU-native JAX/XLA rebuild of dgp-toolbox (Hebbalali).
 
 Deep Gaussian processes (DGP, MF-DGP, MF-DGP-EM, MO-DGP) and Bayesian
-optimization (SO_BO, EI/WB2/WB2S/EV/PoF, EHVI) re-designed for TPU:
+optimization (SO_BO/MO_BO/MF_BO, EI/WB2/WB2S/EV/PoF, EHVI) re-designed for TPU:
 functional pytree models, jitted lax.scan training loops, natural gradients
 as pure functions, shard_map data parallelism over device meshes, and
 MXU-precision-controlled contractions on the hot SVGP-conditional path.
@@ -33,6 +33,7 @@ def __getattr__(name):
         "MultiObjDeepGP": ("dgp_tpu.models.mo_dgp", "MultiObjDeepGP"),
         "SO_BO": ("dgp_tpu.bo.so_bo", "SO_BO"),
         "MO_BO": ("dgp_tpu.bo.mo_bo", "MO_BO"),
+        "MF_BO": ("dgp_tpu.bo.mf_bo", "MF_BO"),
         "kernels": ("dgp_tpu.ops.kernels", None),
         "likelihoods": ("dgp_tpu.ops.likelihoods", None),
         "summary": ("dgp_tpu.utils.monitor", "summary"),

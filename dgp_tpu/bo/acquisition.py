@@ -78,9 +78,12 @@ def _expected_improvement(y_min, mean, var):
 
 def _model_state(model):
     """(kind, traced-state) for a surrogate: GPR carries (params, padded
-    train data); SVGP-based DGP predictions need params only."""
+    train data); SVGP-based DGP/MF-DGP predictions need params only (the
+    MF-DGP's augmented inducing rows are a pure function of params+key)."""
     if model.name == "gpr":
         return "gpr", (model.params, model.train_data)
+    if model.name == "mf_dgp":
+        return "mf_dgp", model.params
     return "dgp", model.params
 
 
@@ -88,6 +91,11 @@ def _y_moments_pure(kind, state, x, key, num_samples):
     if kind == "gpr":
         params, data = state
         return gpr_mod.predict_y(params, data, x)
+    if kind == "mf_dgp":
+        from ..models import mf_dgp as mf_mod
+
+        m_s, v_s = mf_mod.predict_y(state, x, key, num_samples)
+        return _moment_matched(m_s, v_s)
     m_s, v_s = dgp_mod.predict_y(state, x, key, num_samples)
     return _moment_matched(m_s, v_s)
 
@@ -96,6 +104,12 @@ def _f_moments_pure(kind, state, x, key, num_samples):
     if kind == "gpr":
         params, data = state
         return gpr_mod.predict_y(params, data, x)
+    if kind == "mf_dgp":
+        from ..models import mf_dgp as mf_mod
+
+        # highest-fidelity latent posterior (fidelity=None = last layer)
+        m_s, v_s = mf_mod.predict_f(state, x, key, num_samples)
+        return _moment_matched(m_s, v_s)
     m_s, v_s = dgp_mod.predict_f(state, x, key, num_samples)
     return _moment_matched(m_s, v_s)
 
@@ -106,6 +120,11 @@ def _samples_pure(kind, state, x, key, num_samples):
         mean, var = gpr_mod.predict_y(params, data, x)
         z = jax.random.normal(key, (num_samples,) + mean.shape, mean.dtype)
         return mean[None] + jnp.sqrt(var)[None] * z
+    if kind == "mf_dgp":
+        from ..models import mf_dgp as mf_mod
+
+        Fs, _, _ = mf_mod.propagate(state, x, key, num_samples)
+        return Fs[-1]
     Fs, _, _ = dgp_mod.propagate(state, x, key, num_samples)
     return Fs[-1]
 

@@ -55,6 +55,19 @@ def park_vd_low(x):
     ]
 
 
+def forrester_high(x):
+    """Forrester et al. (2008) 1-D function, x in [0,1] -> [n, 1]; the
+    canonical multi-fidelity BO demo (global minimum f(0.75725) = -6.0207)."""
+    x = np.asarray(x).reshape(-1)
+    return ((6 * x - 2) ** 2 * np.sin(12 * x - 4))[:, None]
+
+
+def forrester_low(x):
+    """Standard low-fidelity Forrester: 0.5*f(x) + 10(x - 0.5) - 5."""
+    x = np.asarray(x).reshape(-1)
+    return (0.5 * forrester_high(x)[:, 0] + 10 * (x - 0.5) - 5)[:, None]
+
+
 def calculate_metrics(y_test, y_mean, y_var):
     """r2 / rmse / mnll as defined in nb_mfdgpem cell 7."""
     from scipy.stats import norm

@@ -1,0 +1,119 @@
+"""MF_BO driver (bo/mf_bo.py) — multi-fidelity BO with MF-DGP surrogates.
+
+Beyond reference: the reference ships MF-DGP + a single-fidelity BO loop
+but never the driver joining them."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from dgp_tpu.bo.mf_bo import MF_BO, DEFAULT_MODEL_DIC
+from dgp_tpu.utils.test_functions import forrester_high, forrester_low
+
+
+def _fast_spec():
+    return {"num_samples": 3, "schedule": (20, 10, 10)}
+
+
+def _fast_run_kwargs():
+    return dict(popsize_DE=15, iterations_DE=15, num_samples=15,
+                verbose=False)
+
+
+def test_mf_bo_loop_runs_and_accounts():
+    bo = MF_BO(fidelities=[forrester_low, forrester_high], DoE_sizes=(8, 4),
+               d=1, model_dic=_fast_spec(), seed=0)
+    assert bo.n_fid == 2 and bo.costs == [0.1, 1.0]
+    n0 = [len(x) for x in bo.X]
+    trace = bo.run(2, **_fast_run_kwargs())
+    assert len(trace) == 3 and len(bo.fidelity_choices) == 2
+    # exactly the chosen fidelities' archives grew
+    for f in range(2):
+        assert len(bo.X[f]) == n0[f] + bo.fidelity_choices.count(f)
+        assert len(bo.Y[f]) == len(bo.X[f])
+    # best high-fidelity value can only improve
+    assert all(b <= a + 1e-12 for a, b in zip(trace, trace[1:]))
+    # cost accounting = sum of the chosen fidelities' costs
+    assert bo.cost_spent == pytest.approx(
+        sum(bo.costs[f] for f in bo.fidelity_choices))
+    assert bo.cost_trace[-1] == pytest.approx(bo.cost_spent)
+    for x in np.vstack([bo.X[0][n0[0]:], bo.X[1][n0[1]:]]):
+        assert np.all(x >= 0.0) and np.all(x <= 1.0)
+
+
+def test_mf_bo_fidelity_rule_extremes():
+    """gamma=0: sigma >= 0 always, so every infill queries the lowest
+    fidelity; gamma huge: no low fidelity passes, every infill queries the
+    highest."""
+    bo_lo = MF_BO(fidelities=[forrester_low, forrester_high],
+                  DoE_sizes=(6, 3), d=1, model_dic=_fast_spec(), seed=1,
+                  gamma=0.0)
+    bo_lo.run(2, **_fast_run_kwargs())
+    assert bo_lo.fidelity_choices == [0, 0]
+    assert bo_lo.cost_spent == pytest.approx(0.2)
+    # low-fidelity infills must not touch the high-fidelity best
+    assert bo_lo.best_trace[-1] == bo_lo.best_trace[0]
+
+    bo_hi = MF_BO(fidelities=[forrester_low, forrester_high],
+                  DoE_sizes=(6, 3), d=1, model_dic=_fast_spec(), seed=1,
+                  gamma=1e9)
+    bo_hi.run(2, **_fast_run_kwargs())
+    assert bo_hi.fidelity_choices == [1, 1]
+
+
+def test_mf_bo_acquisition_dispatch_mf_dgp():
+    """The acquisition layer's mf_dgp kind: pure moments match the
+    wrapper's moment-matched highest-fidelity prediction."""
+    import jax
+
+    from dgp_tpu.bo.acquisition import _f_moments_pure, _model_state
+    from dgp_tpu.models.dgp import moment_matched
+
+    bo = MF_BO(fidelities=[forrester_low, forrester_high], DoE_sizes=(8, 4),
+               d=1, model_dic=_fast_spec(), seed=0)
+    Ys_n, _, _ = bo._normalized_Y()
+    m = bo.make_model(Ys_n, seed=0)
+    m.optimize_nat_adam(iterations1=10, iterations2=0, iterations3=10,
+                        messages=0)
+    kind, state = _model_state(m)
+    assert kind == "mf_dgp"
+    x = np.linspace(0, 1, 5)[:, None]
+    key = jax.random.PRNGKey(7)
+    mean, var = _f_moments_pure(kind, state, x, key, 64)
+    m_s, v_s = m.predict_f(x, S=64)
+    # not the same key -> compare statistically, generous tolerance
+    mean2, var2 = moment_matched(m_s, v_s)
+    assert mean.shape == mean2.shape == (5, 1)
+    assert np.all(np.isfinite(np.asarray(mean)))
+    assert np.all(np.asarray(var) >= 0)
+
+
+def test_mf_bo_save_load_exact():
+    bo = MF_BO(fidelities=[forrester_low, forrester_high], DoE_sizes=(6, 3),
+               d=1, model_dic=_fast_spec(), seed=3)
+    bo.run(1, **_fast_run_kwargs())
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "mf_bo.npz")
+        bo.save(path)
+        bo2 = MF_BO.load(path, [forrester_low, forrester_high])
+        assert bo2.best_trace == bo.best_trace
+        assert bo2.cost_trace == bo.cost_trace
+        assert bo2.fidelity_choices == bo.fidelity_choices
+        assert bo2.model_dic == bo.model_dic
+        assert all(np.allclose(a, b) for a, b in zip(bo2.X, bo.X))
+        assert all(np.allclose(a, b) for a, b in zip(bo2._Z0, bo._Z0))
+        assert np.allclose(np.asarray(bo2._run_key),
+                           np.asarray(bo._run_key))
+
+
+def test_mf_bo_validation_errors():
+    with pytest.raises(ValueError, match="fidelities"):
+        MF_BO(fidelities=[forrester_high], DoE_sizes=(4,), d=1)
+    with pytest.raises(ValueError, match="DoE_sizes"):
+        MF_BO(fidelities=[forrester_low, forrester_high])
+    with pytest.raises(ValueError, match="ascending"):
+        MF_BO(fidelities=[forrester_low, forrester_high], costs=[1.0, 0.1],
+              DoE_sizes=(4, 2), d=1)
+    assert DEFAULT_MODEL_DIC["schedule"] == (200, 200, 400)
