@@ -60,14 +60,21 @@ class MF_BO:
     :param gamma: fidelity-selection threshold in normalized output units —
         evaluate the lowest fidelity f with
         sigma_f(x*) >= gamma * sqrt(cost_f / cost_top), else the highest.
-        0 always queries the lowest fidelity, ``inf`` always the highest.
+        0 always queries the lowest *non-duplicate* fidelity, ``inf``
+        always the highest (re-querying a deterministic source at an
+        already-evaluated point is skipped regardless of gamma — see
+        :meth:`_select_fidelity`).
+    :param dup_tol: duplicate-escalation tolerance (relative to sqrt(d));
+        a fidelity whose archive already holds a point within
+        ``dup_tol*sqrt(d)`` of the proposal is skipped. 0 disables the
+        guard (pure BOCA gamma rule).
     """
 
     def __init__(self, fidelities: Sequence = None, costs=None,
                  DoE_sizes=None, X=None, Y=None, d: Optional[int] = None,
                  model_dic: Optional[dict] = None,
                  seed: Optional[int] = None, n_bucket: Optional[int] = 8,
-                 gamma: float = 0.3):
+                 gamma: float = 0.3, dup_tol: float = 1e-3):
         if not fidelities or len(fidelities) < 2:
             raise ValueError("fidelities must list >= 2 callables, low->high")
         self.fidelities = list(fidelities)
@@ -82,6 +89,7 @@ class MF_BO:
         self.model_dic = dict(DEFAULT_MODEL_DIC if model_dic is None
                               else model_dic)
         self.gamma = float(gamma)
+        self.dup_tol = float(dup_tol)
         self.n_bucket = n_bucket
         self._seed = seed
 
@@ -141,10 +149,25 @@ class MF_BO:
 
     def _select_fidelity(self, model, x_new, S=100):
         """BOCA-style rule: lowest fidelity still informative at x_new
-        (posterior std >= gamma * sqrt(cost ratio)), else the highest."""
+        (posterior std >= gamma * sqrt(cost ratio)), else the highest —
+        with a duplicate-escalation guard: the sources are deterministic,
+        so re-querying a fidelity within ``dup_tol`` (relative to sqrt(d))
+        of one of its existing points adds zero information; escalate past
+        it. Without the guard a deceptive low-fidelity minimum can sink the
+        whole budget into repeats of the same cheap point (observed on the
+        Forrester pair: the low function's minimum at x~0.092 is far from
+        the high function's at 0.757)."""
         from ..models.dgp import moment_matched
 
+        tol = self.dup_tol * np.sqrt(self.d)
+
+        def _is_dup(f):
+            return bool(np.min(np.linalg.norm(
+                self.X[f] - x_new.reshape(1, -1), axis=1)) < tol)
+
         for f in range(self.n_fid - 1):
+            if _is_dup(f):
+                continue
             m_s, v_s = model.predict_f(x_new, S=S, fidelity=f)
             _, var = moment_matched(m_s, v_s)
             sigma = float(np.sqrt(max(float(np.max(var)), 0.0)))
@@ -214,6 +237,7 @@ class MF_BO:
             "n_fid": np.asarray(self.n_fid),
             "costs": np.asarray(self.costs),
             "gamma": np.asarray(self.gamma),
+            "dup_tol": np.asarray(self.dup_tol),
             "seed": np.asarray(self._seed if self._seed is not None else -1),
             "iteration": np.asarray(self._iteration),
             "n_bucket": np.asarray(self.n_bucket or 0),
@@ -257,7 +281,9 @@ class MF_BO:
                  model_dic=model_dic,
                  seed=None if seed == -1 else seed,
                  n_bucket=int(data["n_bucket"]) or None,
-                 gamma=float(data["gamma"]))
+                 gamma=float(data["gamma"]),
+                 dup_tol=(float(data["dup_tol"])
+                          if "dup_tol" in data.files else 1e-3))
         bo._Z0 = [np.asarray(data[f"Z{f}"]) for f in range(n_fid)]
         bo._run_key = jax.numpy.asarray(data["run_key"])
         bo._iteration = int(data["iteration"])

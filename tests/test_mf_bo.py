@@ -44,12 +44,12 @@ def test_mf_bo_loop_runs_and_accounts():
 
 
 def test_mf_bo_fidelity_rule_extremes():
-    """gamma=0: sigma >= 0 always, so every infill queries the lowest
-    fidelity; gamma huge: no low fidelity passes, every infill queries the
-    highest."""
+    """gamma=0 (dup guard off): sigma >= 0 always, so every infill queries
+    the lowest fidelity; gamma huge: no low fidelity passes, every infill
+    queries the highest."""
     bo_lo = MF_BO(fidelities=[forrester_low, forrester_high],
                   DoE_sizes=(6, 3), d=1, model_dic=_fast_spec(), seed=1,
-                  gamma=0.0)
+                  gamma=0.0, dup_tol=0.0)
     bo_lo.run(2, **_fast_run_kwargs())
     assert bo_lo.fidelity_choices == [0, 0]
     assert bo_lo.cost_spent == pytest.approx(0.2)
@@ -92,7 +92,7 @@ def test_mf_bo_acquisition_dispatch_mf_dgp():
 
 def test_mf_bo_save_load_exact():
     bo = MF_BO(fidelities=[forrester_low, forrester_high], DoE_sizes=(6, 3),
-               d=1, model_dic=_fast_spec(), seed=3)
+               d=1, model_dic=_fast_spec(), seed=3, dup_tol=2e-3)
     bo.run(1, **_fast_run_kwargs())
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "mf_bo.npz")
@@ -102,10 +102,31 @@ def test_mf_bo_save_load_exact():
         assert bo2.cost_trace == bo.cost_trace
         assert bo2.fidelity_choices == bo.fidelity_choices
         assert bo2.model_dic == bo.model_dic
+        assert bo2.dup_tol == bo.dup_tol == 2e-3
         assert all(np.allclose(a, b) for a, b in zip(bo2.X, bo.X))
         assert all(np.allclose(a, b) for a, b in zip(bo2._Z0, bo._Z0))
         assert np.allclose(np.asarray(bo2._run_key),
                            np.asarray(bo._run_key))
+
+
+def test_mf_bo_duplicate_escalation():
+    """Re-querying a deterministic source at an (almost) already-evaluated
+    point is zero information: _select_fidelity must skip past a fidelity
+    whose archive already contains x_new, even at gamma=0 (which otherwise
+    always picks the lowest). A fresh point at gamma=0 still picks 0."""
+    bo = MF_BO(fidelities=[forrester_low, forrester_high], DoE_sizes=(6, 3),
+               d=1, model_dic=_fast_spec(), seed=5, gamma=0.0)
+    Ys_n, _, _ = bo._normalized_Y()
+    m = bo.make_model(Ys_n, seed=0)
+    m.optimize_nat_adam(iterations1=5, iterations2=0, iterations3=0,
+                        messages=0)
+    x_dup = bo.X[0][2].reshape(1, -1) + 1e-5  # inside the dup tolerance
+    assert bo._select_fidelity(m, x_dup) == 1
+    # a point far from every low-fidelity archive row stays at fidelity 0
+    xs = np.sort(bo.X[0].ravel())
+    gaps = np.diff(xs)
+    x_fresh = np.array([[xs[int(np.argmax(gaps))] + gaps.max() / 2.0]])
+    assert bo._select_fidelity(m, x_fresh) == 0
 
 
 def test_mf_bo_validation_errors():
