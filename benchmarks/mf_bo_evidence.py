@@ -46,12 +46,12 @@ def run_cell(name, seed, fast=False):
     from dgp_tpu.bo.mf_bo import MF_BO
 
     cfg = PROBLEMS[name]
-    spec = None  # DEFAULT_MODEL_DIC: num_samples 5, schedule (200,200,400)
+    spec = None  # the shipped DEFAULT_MODEL_DIC (bake-off winner: 'ar1')
     run_kw = dict(popsize_DE=300, iterations_DE=400, num_samples=500,
                   verbose=False)
     infills = cfg["infills"]
     if fast:
-        spec = {"num_samples": 3, "schedule": (20, 10, 10)}
+        spec = {"type": "ar1", "n_starts": 3, "iterations": 100}
         run_kw = dict(popsize_DE=15, iterations_DE=15, num_samples=15,
                       verbose=False)
         infills = 2

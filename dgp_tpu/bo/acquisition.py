@@ -77,11 +77,14 @@ def _expected_improvement(y_min, mean, var):
 
 
 def _model_state(model):
-    """(kind, traced-state) for a surrogate: GPR carries (params, padded
-    train data); SVGP-based DGP/MF-DGP predictions need params only (the
-    MF-DGP's augmented inducing rows are a pure function of params+key)."""
+    """(kind, traced-state) for a surrogate: GPR/AR1-co-kriging carry
+    (params, padded train data); SVGP-based DGP/MF-DGP predictions need
+    params only (the MF-DGP's augmented inducing rows are a pure function
+    of params+key)."""
     if model.name == "gpr":
         return "gpr", (model.params, model.train_data)
+    if model.name == "ar1":
+        return "ar1", (model.params, model.train_data)
     if model.name == "mf_dgp":
         return "mf_dgp", model.params
     return "dgp", model.params
@@ -91,6 +94,11 @@ def _y_moments_pure(kind, state, x, key, num_samples):
     if kind == "gpr":
         params, data = state
         return gpr_mod.predict_y(params, data, x)
+    if kind == "ar1":
+        from ..models import cokriging as ar1_mod
+
+        params, data = state
+        return ar1_mod.predict_y(params, data, x, -1)
     if kind == "mf_dgp":
         from ..models import mf_dgp as mf_mod
 
@@ -104,6 +112,12 @@ def _f_moments_pure(kind, state, x, key, num_samples):
     if kind == "gpr":
         params, data = state
         return gpr_mod.predict_y(params, data, x)
+    if kind == "ar1":
+        from ..models import cokriging as ar1_mod
+
+        params, data = state
+        # highest-fidelity exact latent posterior
+        return ar1_mod.predict_f(params, data, x, -1)
     if kind == "mf_dgp":
         from ..models import mf_dgp as mf_mod
 
@@ -118,6 +132,13 @@ def _samples_pure(kind, state, x, key, num_samples):
     if kind == "gpr":
         params, data = state
         mean, var = gpr_mod.predict_y(params, data, x)
+        z = jax.random.normal(key, (num_samples,) + mean.shape, mean.dtype)
+        return mean[None] + jnp.sqrt(var)[None] * z
+    if kind == "ar1":
+        from ..models import cokriging as ar1_mod
+
+        params, data = state
+        mean, var = ar1_mod.predict_y(params, data, x, -1)
         z = jax.random.normal(key, (num_samples,) + mean.shape, mean.dtype)
         return mean[None] + jnp.sqrt(var)[None] * z
     if kind == "mf_dgp":

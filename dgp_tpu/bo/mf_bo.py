@@ -10,9 +10,12 @@ per infill, save/load checkpointing.
 
 Per infill:
 
-1. Train a :class:`~dgp_tpu.models.mf_dgp.MultiFidelityDeepGP` on the
-   per-fidelity archives (pooled output normalization so the cross-fidelity
-   structure is preserved).
+1. Train a fresh surrogate on the per-fidelity archives (pooled output
+   normalization so the cross-fidelity structure is preserved).
+   ``model_dic['type']`` picks the form: ``'ar1'`` = exact AR(1)
+   co-kriging (:mod:`~dgp_tpu.models.cokriging`, Kennedy & O'Hagan), or
+   ``'mf_dgp'`` / no ``'type'`` key = the reference's
+   :class:`~dgp_tpu.models.mf_dgp.MultiFidelityDeepGP`.
 2. Maximize EI on the **highest-fidelity** latent posterior over the unit
    box (the jitted DE engines of ``bo/acquisition.py`` — ``MF_BO`` adds the
    ``mf_dgp`` dispatch there).
@@ -36,10 +39,15 @@ import numpy as np
 
 from .doe import lhs
 
-#: Measured-sane default surrogate schedule per infill (3-phase staged
-#: Adam -> +inducing -> Adam+NatGrad; the published modeling schedule
-#: (1000, 2000, 6000) is overkill for a per-infill refit).
-DEFAULT_MODEL_DIC = {"num_samples": 5, "schedule": (200, 200, 400)}
+#: Default surrogate, picked by the measured bake-off
+#: (benchmarks/mf_bo_bakeoff.json, v5e): exact AR(1) co-kriging reaches the
+#: Forrester optimum to regret <5e-5 on 3/3 seeds where the variational
+#: MF-DGP strands 2/3 seeds at regret ~5 (its tiny-n posterior collapses
+#: overconfident — models/cokriging.py docstring), ties or wins Park, and
+#: is faster everywhere. The reference's MF-DGP surrogate stays one
+#: ``model_dic`` away: any dict without ``'type'`` (e.g.
+#: ``{"num_samples": 5, "schedule": (200, 200, 400)}``) selects it.
+DEFAULT_MODEL_DIC = {"type": "ar1", "n_starts": 8, "iterations": 2000}
 
 
 class MF_BO:
@@ -55,8 +63,12 @@ class MF_BO:
         (20, 5); more low-fidelity points is the standard MF design.
     :param X, Y: optional known per-fidelity archives instead of a DoE.
     :param d: input dimension (required when generating a DoE).
-    :param model_dic: {'num_samples': S, 'schedule': (it1, it2, it3)} —
-        MF-DGP architecture/training per infill (:data:`DEFAULT_MODEL_DIC`).
+    :param model_dic: surrogate spec (:data:`DEFAULT_MODEL_DIC`).
+        ``{'type': 'ar1', 'n_starts': k, 'iterations': n, 'lr': r,
+        'kernel': 'rbf'|'matern32'|'matern52'}`` = exact AR(1) co-kriging
+        (the measured default); ``{'num_samples': S,
+        'schedule': (it1, it2, it3)}`` (no ``'type'``) = the reference's
+        MF-DGP surrogate.
     :param gamma: fidelity-selection threshold in normalized output units —
         evaluate the lowest fidelity f with
         sigma_f(x*) >= gamma * sqrt(cost_f / cost_top), else the highest.
@@ -140,12 +152,39 @@ class MF_BO:
         return [(y - mu) / sd for y in self.Y], mu, sd
 
     def make_model(self, Ys_n, seed):
+        """Untrained surrogate per ``model_dic['type']``: ``'ar1'`` = exact
+        AR(1) co-kriging (models/cokriging.py); ``'mf_dgp'`` or a dict
+        without ``'type'`` = the reference's MF-DGP surrogate."""
+        kind = self.model_dic.get("type", "mf_dgp")
+        if kind == "ar1":
+            from ..models.cokriging import AR1CoKriging
+
+            return AR1CoKriging(
+                (self.X, Ys_n), n_bucket=self.n_bucket,
+                kernel=self.model_dic.get("kernel", "rbf"))
+        if kind != "mf_dgp":
+            raise ValueError(f"unknown surrogate type {kind!r}")
         from ..models.mf_dgp import MultiFidelityDeepGP
 
         return MultiFidelityDeepGP(
             self.X, Ys_n, Z=[z.copy() for z in self._Z0],
             num_samples=int(self.model_dic.get("num_samples", 5)),
             seed=seed, n_bucket=self.n_bucket)
+
+    def _fit_model(self, Ys_n, seed):
+        """Build + train one fresh surrogate on the current archives."""
+        model = self.make_model(Ys_n, seed=seed)
+        if self.model_dic.get("type", "mf_dgp") == "ar1":
+            model.optimize(
+                n_starts=int(self.model_dic.get("n_starts", 8)),
+                iterations=int(self.model_dic.get("iterations", 2000)),
+                lr=float(self.model_dic.get("lr", 0.05)), seed=seed)
+        else:
+            sched = self.model_dic.get("schedule", (200, 200, 400))
+            model.optimize_nat_adam(
+                iterations1=sched[0], iterations2=sched[1],
+                iterations3=sched[2], messages=0)
+        return model
 
     def _select_fidelity(self, model, x_new, S=100):
         """BOCA-style rule: lowest fidelity still informative at x_new
@@ -188,14 +227,10 @@ class MF_BO:
         """
         from .acquisition import EI
 
-        sched = self.model_dic.get("schedule", (200, 200, 400))
         for _ in range(iterations):
             it = self._iteration
             Ys_n, mu, sd = self._normalized_Y()
-            model = self.make_model(Ys_n, seed=it)
-            model.optimize_nat_adam(
-                iterations1=sched[0], iterations2=sched[1],
-                iterations3=sched[2], messages=0)
+            model = self._fit_model(Ys_n, seed=it)
 
             y_min_n = float((np.min(self.Y[-1]) - mu) / sd)
             ic = EI(y_min_n, self.d)

@@ -35,11 +35,15 @@ from dgp_tpu.utils.test_functions import (  # noqa: E402
     forrester_high, forrester_low)
 
 
-def main(infills=4):
-    # 8 cheap + 4 expensive DoE points; costs default to (0.1, 1.0)
+def main(infills=6):
+    # 8 cheap + 4 expensive DoE points; costs default to (0.1, 1.0).
+    # The default surrogate is exact AR(1) co-kriging — picked by the
+    # measured bake-off (benchmarks/mf_bo_bakeoff.json: Forrester regret
+    # <5e-5 on 3/3 seeds vs the MF-DGP's 1/3). Pass a model_dic without
+    # 'type' (e.g. {'num_samples': 5, 'schedule': (200, 200, 400)}) for
+    # the reference's MF-DGP surrogate.
     bo = MF_BO(fidelities=[forrester_low, forrester_high],
-               DoE_sizes=(8, 4), d=1, seed=0,
-               model_dic={"num_samples": 3, "schedule": (60, 30, 60)})
+               DoE_sizes=(8, 4), d=1, seed=0)
     print(f"DoE best (high fidelity): {bo.best_trace[0]:.4f} "
           f"(optimum -6.0207 at x=0.7572)")
 

@@ -137,4 +137,5 @@ def test_mf_bo_validation_errors():
     with pytest.raises(ValueError, match="ascending"):
         MF_BO(fidelities=[forrester_low, forrester_high], costs=[1.0, 0.1],
               DoE_sizes=(4, 2), d=1)
-    assert DEFAULT_MODEL_DIC["schedule"] == (200, 200, 400)
+    # the shipped default is the bake-off winner (mf_bo_bakeoff.json)
+    assert DEFAULT_MODEL_DIC["type"] == "ar1"
