@@ -50,7 +50,7 @@ def test_nll_matches_numpy_oracle():
     L = np.linalg.cholesky(K)
     a = np.linalg.solve(L, y)
     n = len(y)
-    nll_np = (0.5 * float(a.T @ a) + np.log(np.diag(L)).sum()
+    nll_np = (0.5 * float((a.T @ a).item()) + np.log(np.diag(L)).sum()
               + 0.5 * n * np.log(2 * np.pi))
     Xs, Ys, ws = m.train_data
     nll = float(neg_log_marginal_likelihood(m.params, Xs, Ys, ws))
@@ -131,6 +131,61 @@ def test_training_recovers_cross_fidelity_structure():
     ss_res = float(np.sum((np.asarray(mean)[0] - yt) ** 2))
     ss_tot = float(np.sum((yt - yt.mean()) ** 2))
     assert 1.0 - ss_res / ss_tot >= 0.95
+
+
+def test_three_fidelity_joint_gram_oracle():
+    """L=3 recursive structure: cov(f_t, f_s) = sum_k a_tk a_sk k_k with
+    a_tk = prod_{j=k}^{t-1} rho_j — pinned against a hand-built numpy
+    oracle at the (shared) init hyperparameters."""
+    rng = np.random.default_rng(7)
+    Xs_np = [rng.uniform(0, 1, (n, 1)) for n in (6, 4, 3)]
+    Ys_np = [rng.normal(size=(n, 1)) for n in (6, 4, 3)]
+    m = AR1CoKriging((Xs_np, Ys_np))
+    ls = np.asarray(m.params.kernels[0].lengthscales)
+    v = float(m.params.kernels[0].variance)
+    rho = np.asarray(m.params.rho)  # [2], init 1.0
+    noise = float(m.params.likelihoods[0].variance)
+    jit = float(default_jitter())
+
+    def rbf(A, B):
+        d2 = (((A[:, None, :] - B[None, :, :]) / ls) ** 2).sum(-1)
+        return v * np.exp(-0.5 * d2)
+
+    # a[t][k] coefficients
+    a = np.zeros((3, 3))
+    for t in range(3):
+        a[t, t] = 1.0
+        for k in range(t - 1, -1, -1):
+            a[t, k] = a[t, k + 1] * rho[k]
+    n_tot = sum(x.shape[0] for x in Xs_np)
+    K = np.zeros((n_tot, n_tot))
+    offs = np.cumsum([0] + [x.shape[0] for x in Xs_np])
+    for t in range(3):
+        for s in range(3):
+            blk = sum(a[t, k] * a[s, k] * rbf(Xs_np[t], Xs_np[s])
+                      for k in range(min(t, s) + 1))
+            K[offs[t]:offs[t + 1], offs[s]:offs[s + 1]] = blk
+    K += (noise + jit) * np.eye(n_tot)
+    y = np.vstack(Ys_np)
+    L = np.linalg.cholesky(K)
+    alpha = np.linalg.solve(L, y)
+    nll_np = (0.5 * float((alpha.T @ alpha).item())
+              + np.log(np.diag(L)).sum()
+              + 0.5 * n_tot * np.log(2 * np.pi))
+    Xs, Ys, ws = m.train_data
+    assert float(neg_log_marginal_likelihood(m.params, Xs, Ys, ws)) == \
+        pytest.approx(nll_np, rel=1e-10)
+    # middle-fidelity posterior stays exact too
+    xs = rng.uniform(0, 1, (4, 1))
+    Ks = np.hstack([
+        sum(a[1, k] * a[s, k] * rbf(xs, Xs_np[s])
+            for k in range(min(1, s) + 1)) for s in range(3)])
+    A = np.linalg.solve(L, Ks.T)
+    mean_np = A.T @ np.linalg.solve(L, y)
+    var_np = float((a[1, 0] ** 2 + 1.0) * v) - (A**2).sum(0)
+    mean, var = m.predict_f(xs, fidelity=1)
+    np.testing.assert_allclose(np.asarray(mean)[0], mean_np, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(var)[0, :, 0], var_np, atol=1e-9)
 
 
 def test_acquisition_dispatch_ar1():
