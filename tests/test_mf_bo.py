@@ -129,6 +129,31 @@ def test_mf_bo_duplicate_escalation():
     assert bo._select_fidelity(m, x_fresh) == 0
 
 
+def test_mf_bo_three_fidelity_loop():
+    """n_fid=3 end-to-end (AR1 surrogate): default geometric cost ladder
+    (0.01, 0.1, 1.0), per-level accounting, only top-fidelity evaluations
+    move the best trace."""
+    from dgp_tpu.bo.mf_bo import MF_BO
+
+    def mid(x):
+        return 0.5 * (forrester_low(x) + forrester_high(x))
+
+    bo = MF_BO(fidelities=[forrester_low, mid, forrester_high],
+               DoE_sizes=(8, 5, 3), d=1,
+               model_dic={"type": "ar1", "n_starts": 3, "iterations": 100},
+               seed=0)
+    assert bo.costs == [0.01, 0.1, 1.0]
+    n0 = [len(x) for x in bo.X]
+    trace = bo.run(3, popsize_DE=15, iterations_DE=15, num_samples=15,
+                   verbose=False)
+    assert len(trace) == 4 and len(bo.fidelity_choices) == 3
+    for f in range(3):
+        assert len(bo.X[f]) == n0[f] + bo.fidelity_choices.count(f)
+    assert bo.cost_spent == pytest.approx(
+        sum(bo.costs[f] for f in bo.fidelity_choices))
+    assert all(b <= a + 1e-12 for a, b in zip(trace, trace[1:]))
+
+
 def test_mf_bo_validation_errors():
     with pytest.raises(ValueError, match="fidelities"):
         MF_BO(fidelities=[forrester_high], DoE_sizes=(4,), d=1)
