@@ -13,11 +13,14 @@ MF_BO.make_model can build:
   mf_dgp   MultiFidelityDeepGP, schedule (200,200,400)   [round-4 default]
   ar1      exact AR(1) co-kriging, 8-start MLL Adam      (models/cokriging)
 
-across the two same-dimension MF pairs in utils/test_functions
-(forrester d=1 with a known optimum -6.0207, park d=4) x 3 seeds x 10
-infills, recording the best trace, fidelity choices, cost-weighted budget
-and wall time — the quality-per-second comparison that picks MF_BO's
-default surrogate.
+across the four same-dimension MF pairs in utils/test_functions
+(forrester d=1 with a known optimum -6.0207; park d=4; the NONLINEAR
+branin pair d=2 of Perdikaris et al. 2017, f_low = 10*sqrt(f_high)+...,
+the canonical stress case a linear AR(1) cannot represent exactly —
+deliberately adversarial to the chosen default; borehole d=8, the
+near-affine classic) x 3 seeds x 10 infills, recording the best trace,
+fidelity choices, cost-weighted budget and wall time — the
+quality-per-second comparison that picks MF_BO's default surrogate.
 
 Usage:
   python benchmarks/mf_bo_bakeoff.py [--fast] [--configs a,b] [--out PATH]
@@ -48,6 +51,8 @@ CONFIGS = {
 PROBLEMS = {
     "forrester": dict(d=1, DoE=(8, 4), infills=10, f_opt=-6.020740),
     "park": dict(d=4, DoE=(24, 8), infills=10, f_opt=None),
+    "branin_mf": dict(d=2, DoE=(16, 6), infills=10, f_opt=0.397887),
+    "borehole": dict(d=8, DoE=(40, 10), infills=10, f_opt=None),
 }
 SEEDS = [0, 1, 2]
 
@@ -57,6 +62,10 @@ def _fidelities(name):
 
     if name == "forrester":
         return [tf.forrester_low, tf.forrester_high]
+    if name == "branin_mf":
+        return [tf.branin_low, tf.branin_high]
+    if name == "borehole":
+        return [tf.borehole_low, tf.borehole_high]
     return [tf.park_low, tf.park_high]
 
 
@@ -106,6 +115,9 @@ def main():
     config_names = list(CONFIGS)
     if "--configs" in sys.argv:
         config_names = sys.argv[sys.argv.index("--configs") + 1].split(",")
+    problem_names = list(PROBLEMS)
+    if "--problems" in sys.argv:
+        problem_names = sys.argv[sys.argv.index("--problems") + 1].split(",")
     if fast:
         import jax
 
@@ -115,7 +127,7 @@ def main():
         cells = json.load(open(out_path)).get("cells", [])
     done = {(c["config"], c["problem"], c["seed"]) for c in cells}
     for config in config_names:
-        for name in PROBLEMS:
+        for name in problem_names:
             for seed in SEEDS:
                 if (config, name, seed) in done:
                     continue

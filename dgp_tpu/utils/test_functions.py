@@ -55,6 +55,61 @@ def park_vd_low(x):
     ]
 
 
+#: Physical borehole domain, one (lo, hi) per input: r_w, r, T_u, H_u,
+#: T_l, H_l, L, K_w (Harper & Gupta 1983; the MF low fidelity is Xiong,
+#: Qian & Wu 2013). Functions below take the unit box and rescale.
+_BOREHOLE_BOUNDS = np.array(
+    [(0.05, 0.15), (100.0, 50000.0), (63070.0, 115600.0), (990.0, 1110.0),
+     (63.1, 116.0), (700.0, 820.0), (1120.0, 1680.0), (9855.0, 12045.0)])
+
+
+def _borehole_terms(x):
+    x = np.asarray(x, dtype=float)
+    lo, hi = _BOREHOLE_BOUNDS[:, 0], _BOREHOLE_BOUNDS[:, 1]
+    z = lo + (hi - lo) * x
+    r_w, r, T_u, H_u, T_l, H_l, L, K_w = (z[:, i] for i in range(8))
+    log_rr = np.log(r / r_w)
+    frac = 2.0 * L * T_u / (log_rr * r_w**2 * K_w)
+    return T_u * (H_u - H_l), log_rr, frac, T_u / T_l
+
+
+def borehole_high(x):
+    """Borehole water-flow function on the unit box [0,1]^8 -> [n, 1]
+    (m^3/yr through a borehole; the standard 8-D emulation benchmark)."""
+    num, log_rr, frac, ratio = _borehole_terms(x)
+    return (2.0 * np.pi * num / (log_rr * (1.0 + frac + ratio)))[:, None]
+
+
+def borehole_low(x):
+    """Low-fidelity borehole (Xiong, Qian & Wu 2013): the 2*pi factor
+    drops to 5 and the denominator constant 1 becomes 1.5 — a global
+    scale + shape distortion, the classic 8-D MF benchmark pair."""
+    num, log_rr, frac, ratio = _borehole_terms(x)
+    return (5.0 * num / (log_rr * (1.5 + frac + ratio)))[:, None]
+
+
+def branin_high(x):
+    """Branin-Hoo on the unit box [0,1]^2 -> [n, 1] (physical domain
+    [-5, 10] x [0, 15]; three global minima at 0.397887)."""
+    x = np.asarray(x, dtype=float)
+    x1 = -5.0 + 15.0 * x[:, 0]
+    x2 = 15.0 * x[:, 1]
+    a, b, c = 1.0, 5.1 / (4 * np.pi**2), 5.0 / np.pi
+    r, s, t = 6.0, 10.0, 1.0 / (8 * np.pi)
+    return (a * (x2 - b * x1**2 + c * x1 - r) ** 2
+            + s * (1 - t) * np.cos(x1) + s)[:, None]
+
+
+def branin_low(x):
+    """Nonlinear low-fidelity branin (Perdikaris et al. 2017, NARGP):
+    10*sqrt(f_high) + 2(x1-0.5) - 3(3x2-1) - 1 in unit-box coords — the
+    low fidelity is a NONLINEAR transform of the high one, the canonical
+    stress case for linear-autoregressive (AR1) multi-fidelity models."""
+    x = np.asarray(x, dtype=float)
+    return (10.0 * np.sqrt(branin_high(x)[:, 0])
+            + 2.0 * (x[:, 0] - 0.5) - 3.0 * (3.0 * x[:, 1] - 1.0) - 1.0)[:, None]
+
+
 def forrester_high(x):
     """Forrester et al. (2008) 1-D function, x in [0,1] -> [n, 1]; the
     canonical multi-fidelity BO demo (global minimum f(0.75725) = -6.0207)."""

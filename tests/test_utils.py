@@ -235,3 +235,60 @@ def test_summary_parameter_table(capsys):
     mo = MultiObjDeepGP([Xm, Xm.copy()], [np.sin(3 * Xm), np.cos(2 * Xm)],
                         loop=1, num_samples=2)
     assert len(monitor.summary(mo, print_fn=None)) > 0
+
+
+def test_borehole_mf_pair():
+    """Borehole high/low fidelity pair (utils/test_functions.py): the high
+    fidelity is re-derived inline from the published formula (Harper &
+    Gupta 1983 water-flow, unit-box rescaling), the low fidelity is the
+    Xiong/Qian/Wu 2013 variant (5/1.5 constants), and the pair is strongly
+    rank-correlated over an LHS — the property MF surrogates exploit."""
+    import numpy as np
+    from dgp_tpu.bo.doe import lhs
+    from dgp_tpu.utils.test_functions import borehole_high, borehole_low
+
+    # independent re-derivation at the domain midpoint
+    r_w, r, T_u, H_u = 0.1, (100 + 50000) / 2, (63070 + 115600) / 2, 1050.0
+    T_l, H_l, L, K_w = (63.1 + 116) / 2, 760.0, 1400.0, (9855 + 12045) / 2
+    log_rr = np.log(r / r_w)
+    f_mid = (2 * np.pi * T_u * (H_u - H_l)
+             / (log_rr * (1 + 2 * L * T_u / (log_rr * r_w**2 * K_w)
+                          + T_u / T_l)))
+    x_mid = 0.5 * np.ones((1, 8))
+    assert borehole_high(x_mid).shape == (1, 1)
+    np.testing.assert_allclose(borehole_high(x_mid)[0, 0], f_mid, rtol=1e-12)
+
+    X = lhs(8, 200, seed=0)
+    yh, yl = borehole_high(X)[:, 0], borehole_low(X)[:, 0]
+    assert yh.shape == (200,) and np.all(yh > 0) and np.all(yl > 0)
+    assert np.all(np.isfinite(yh)) and np.all(np.isfinite(yl))
+    # near-affine pair (the 2*L*T_u/(log_rr*r_w^2*K_w) term dominates both
+    # denominators, so the 1 vs 1.5 constant barely matters) — the classic
+    # "easy" MF benchmark; an AR(1) surrogate should nail it
+    corr = np.corrcoef(yh, yl)[0, 1]
+    assert corr > 0.99, corr
+
+
+def test_branin_mf_pair():
+    """Nonlinear MF branin (Perdikaris et al. 2017 NARGP benchmark):
+    f_low = 10*sqrt(f_high) + 2(x1-0.5) - 3(3x2-1) - 1 on the unit box —
+    the low fidelity is a NONLINEAR transform of the high one, the case a
+    linear AR(1) surrogate cannot represent exactly."""
+    import numpy as np
+    from dgp_tpu.bo.doe import lhs
+    from dgp_tpu.utils.test_functions import branin_high, branin_low
+
+    # independent re-derivation: branin at its known global minimum
+    # (-pi, 12.275) -> 0.397887..., unit-box coords ((-pi+5)/15, 12.275/15)
+    x_star = np.array([[(-np.pi + 5.0) / 15.0, 12.275 / 15.0]])
+    np.testing.assert_allclose(branin_high(x_star)[0, 0], 0.397887,
+                               atol=1e-5)
+    X = lhs(2, 200, seed=0)
+    yh, yl = branin_high(X)[:, 0], branin_low(X)[:, 0]
+    assert np.all(yh > 0) and np.all(np.isfinite(yl))
+    np.testing.assert_allclose(
+        yl, 10.0 * np.sqrt(yh) + 2.0 * (X[:, 0] - 0.5)
+        - 3.0 * (3.0 * X[:, 1] - 1.0) - 1.0, rtol=1e-12)
+    # nonlinear relation: an affine fit of low on high leaves real residue
+    resid = yl - np.polyval(np.polyfit(yh, yl, 1), yh)
+    assert np.std(resid) > 0.05 * np.std(yl)
