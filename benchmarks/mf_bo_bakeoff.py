@@ -10,8 +10,9 @@ degenerate basin; see models/cokriging.py docstring). This benchmark
 measures best-high-fidelity-vs-infill for both surrogate forms
 MF_BO.make_model can build:
 
-  mf_dgp   MultiFidelityDeepGP, schedule (200,200,400)   [round-4 default]
+  mf_dgp   MultiFidelityDeepGP, schedule (200,200,400)
   ar1      exact AR(1) co-kriging, 8-start MLL Adam      (models/cokriging)
+  nargp    nonlinear autoregressive GP, 8-start MLL Adam (models/nargp)
 
 across the four same-dimension MF pairs in utils/test_functions
 (forrester d=1 with a known optimum -6.0207; park d=4; the NONLINEAR
@@ -46,6 +47,7 @@ RESULTS = os.path.join(os.path.dirname(__file__), "mf_bo_bakeoff.json")
 CONFIGS = {
     "mf_dgp": {"num_samples": 5, "schedule": (200, 200, 400)},
     "ar1": {"type": "ar1", "n_starts": 8, "iterations": 2000},
+    "nargp": {"type": "nargp", "n_starts": 8, "iterations": 2000},
 }
 
 PROBLEMS = {
@@ -78,7 +80,7 @@ def run_cell(config_name, problem_name, seed, fast=False):
                   verbose=False)
     infills = cfg["infills"]
     if fast:
-        if spec.get("type") == "ar1":
+        if spec.get("type") in ("ar1", "nargp"):
             spec.update(n_starts=3, iterations=100)
         else:
             spec.update(num_samples=3, schedule=(20, 10, 10))

@@ -85,6 +85,8 @@ def _model_state(model):
         return "gpr", (model.params, model.train_data)
     if model.name == "ar1":
         return "ar1", (model.params, model.train_data)
+    if model.name == "nargp":
+        return "nargp", (model.params, model.train_data)
     if model.name == "mf_dgp":
         return "mf_dgp", model.params
     return "dgp", model.params
@@ -99,6 +101,12 @@ def _y_moments_pure(kind, state, x, key, num_samples):
 
         params, data = state
         return ar1_mod.predict_y(params, data, x, -1)
+    if kind == "nargp":
+        from ..models import nargp as nargp_mod
+
+        params, datas = state
+        m_s, v_s = nargp_mod.predict_y(params, datas, x, key, num_samples)
+        return _moment_matched(m_s, v_s)
     if kind == "mf_dgp":
         from ..models import mf_dgp as mf_mod
 
@@ -118,6 +126,13 @@ def _f_moments_pure(kind, state, x, key, num_samples):
         params, data = state
         # highest-fidelity exact latent posterior
         return ar1_mod.predict_f(params, data, x, -1)
+    if kind == "nargp":
+        from ..models import nargp as nargp_mod
+
+        params, datas = state
+        # highest-fidelity MC-propagated latent posterior
+        m_s, v_s = nargp_mod.predict_f(params, datas, x, key, num_samples)
+        return _moment_matched(m_s, v_s)
     if kind == "mf_dgp":
         from ..models import mf_dgp as mf_mod
 
@@ -141,6 +156,14 @@ def _samples_pure(kind, state, x, key, num_samples):
         mean, var = ar1_mod.predict_y(params, data, x, -1)
         z = jax.random.normal(key, (num_samples,) + mean.shape, mean.dtype)
         return mean[None] + jnp.sqrt(var)[None] * z
+    if kind == "nargp":
+        from ..models import nargp as nargp_mod
+
+        params, datas = state
+        k1, k2 = jax.random.split(key)
+        m_s, v_s = nargp_mod.predict_y(params, datas, x, k1, num_samples)
+        z = jax.random.normal(k2, m_s.shape, m_s.dtype)
+        return m_s + jnp.sqrt(jnp.maximum(v_s, 0.0)) * z
     if kind == "mf_dgp":
         from ..models import mf_dgp as mf_mod
 

@@ -13,9 +13,10 @@ Per infill:
 1. Train a fresh surrogate on the per-fidelity archives (pooled output
    normalization so the cross-fidelity structure is preserved).
    ``model_dic['type']`` picks the form: ``'ar1'`` = exact AR(1)
-   co-kriging (:mod:`~dgp_tpu.models.cokriging`, Kennedy & O'Hagan), or
-   ``'mf_dgp'`` / no ``'type'`` key = the reference's
-   :class:`~dgp_tpu.models.mf_dgp.MultiFidelityDeepGP`.
+   co-kriging (:mod:`~dgp_tpu.models.cokriging`, Kennedy & O'Hagan),
+   ``'nargp'`` = nonlinear autoregressive GP (:mod:`~dgp_tpu.models.nargp`,
+   Perdikaris et al. 2017), or ``'mf_dgp'`` / no ``'type'`` key = the
+   reference's :class:`~dgp_tpu.models.mf_dgp.MultiFidelityDeepGP`.
 2. Maximize EI on the **highest-fidelity** latent posterior over the unit
    box (the jitted DE engines of ``bo/acquisition.py`` — ``MF_BO`` adds the
    ``mf_dgp`` dispatch there).
@@ -66,7 +67,9 @@ class MF_BO:
     :param model_dic: surrogate spec (:data:`DEFAULT_MODEL_DIC`).
         ``{'type': 'ar1', 'n_starts': k, 'iterations': n, 'lr': r,
         'kernel': 'rbf'|'matern32'|'matern52'}`` = exact AR(1) co-kriging
-        (the measured default); ``{'num_samples': S,
+        (the measured default); ``{'type': 'nargp', ...same keys...,
+        'num_samples': S}`` = nonlinear autoregressive GP (for nonlinear
+        cross-fidelity maps); ``{'num_samples': S,
         'schedule': (it1, it2, it3)}`` (no ``'type'``) = the reference's
         MF-DGP surrogate.
     :param gamma: fidelity-selection threshold in normalized output units —
@@ -153,8 +156,10 @@ class MF_BO:
 
     def make_model(self, Ys_n, seed):
         """Untrained surrogate per ``model_dic['type']``: ``'ar1'`` = exact
-        AR(1) co-kriging (models/cokriging.py); ``'mf_dgp'`` or a dict
-        without ``'type'`` = the reference's MF-DGP surrogate."""
+        AR(1) co-kriging (models/cokriging.py); ``'nargp'`` = nonlinear
+        autoregressive GP (models/nargp.py — for nonlinear cross-fidelity
+        maps an AR(1) cannot represent); ``'mf_dgp'`` or a dict without
+        ``'type'`` = the reference's MF-DGP surrogate."""
         kind = self.model_dic.get("type", "mf_dgp")
         if kind == "ar1":
             from ..models.cokriging import AR1CoKriging
@@ -162,6 +167,14 @@ class MF_BO:
             return AR1CoKriging(
                 (self.X, Ys_n), n_bucket=self.n_bucket,
                 kernel=self.model_dic.get("kernel", "rbf"))
+        if kind == "nargp":
+            from ..models.nargp import NARGP
+
+            return NARGP(
+                (self.X, Ys_n), n_bucket=self.n_bucket,
+                kernel=self.model_dic.get("kernel", "rbf"),
+                num_samples=int(self.model_dic.get("num_samples", 100)),
+                seed=seed)
         if kind != "mf_dgp":
             raise ValueError(f"unknown surrogate type {kind!r}")
         from ..models.mf_dgp import MultiFidelityDeepGP
@@ -174,7 +187,7 @@ class MF_BO:
     def _fit_model(self, Ys_n, seed):
         """Build + train one fresh surrogate on the current archives."""
         model = self.make_model(Ys_n, seed=seed)
-        if self.model_dic.get("type", "mf_dgp") == "ar1":
+        if self.model_dic.get("type", "mf_dgp") in ("ar1", "nargp"):
             model.optimize(
                 n_starts=int(self.model_dic.get("n_starts", 8)),
                 iterations=int(self.model_dic.get("iterations", 2000)),
