@@ -274,12 +274,78 @@ class SO_BO:
             for i in range(self.C.shape[1]):
                 self.train_model(self.model_C[i], iteration_C[i])
 
+    # -- batch (q-point) infill helpers -------------------------------------------
+    def _fantasy_mean(self, model, x_n):
+        """Surrogate posterior mean at x_n [1, d] (normalized coords) —
+        the Kriging-Believer lie value."""
+        from ..models.dgp import moment_matched
+
+        if model.name == "gpr":
+            m, _ = model.predict_f(x_n)
+            return np.asarray(m).reshape(1, -1)
+        m_s, v_s = model.predict_f(x_n, S=64)
+        m, _ = moment_matched(np.asarray(m_s), np.asarray(v_s))
+        return np.asarray(m).reshape(1, -1)
+
+    def _apply_lie(self, x_new_n, lie, lie_train_iterations):
+        """Append a fantasized observation at ``x_new_n`` to the SURROGATE
+        training data only (the real archive is untouched) so the next
+        in-batch acquisition sees a conditioned posterior. For exact GPR
+        this is exact posterior conditioning at fixed hyperparameters
+        (zero retraining); SVGP-based DGP posteriors only move through
+        training, so a short Adam refit runs when ``lie_train_iterations``
+        is nonzero (default 200 for DGP surrogates, 0 for GPR)."""
+        import jax.numpy as jnp
+
+        from ..config import default_float
+
+        dt = default_float()
+        as_j = lambda a: jnp.asarray(np.asarray(a), dtype=dt)
+        x = np.asarray(x_new_n, dtype=float).reshape(1, self.d)
+
+        def _lie_value(model):
+            Yt = np.asarray(model.data[1])
+            if lie == "believer":
+                return self._fantasy_mean(model, x)
+            if lie == "min":
+                return Yt.min(axis=0, keepdims=True)
+            if lie == "max":
+                return Yt.max(axis=0, keepdims=True)
+            raise ValueError(f"unknown lie {lie!r}")
+
+        models = [self.model_Y] + (
+            list(self.model_C) if self.problem.constraint else [])
+        for k, model in enumerate(models):
+            # constraints always use the believer mean: min/max lies are
+            # statements about the OBJECTIVE's optimism, not feasibility
+            y_lie = (self._fantasy_mean(model, x) if k > 0
+                     else _lie_value(model))
+            Xt = np.vstack([np.asarray(model.data[0]), x])
+            Yt = np.vstack([np.asarray(model.data[1]), y_lie])
+            model.data = (as_j(Xt), as_j(Yt))
+            iters = lie_train_iterations
+            if iters is None:
+                iters = 0 if model.name == "gpr" else 200
+            if iters:
+                # same warm recipe as the loop's own half-train
+                self.train_model(model, iters)
+
     # -- BO loop --------------------------------------------------------------------
     def run(self, iterations, from_scratch=None, IC="EI",
             constraint_handling="PoF", threshold=0.1, train_iterations=1000,
             popsize_DE=300, popstd_DE=1.5, iterations_DE=400, init_adam=None,
             iterations_adam=1000, IC_method="DE+Adam", analytic=True,
+            batch_size=1, lie="believer", lie_train_iterations=None,
             verbose=True):
+        """``batch_size`` > 1 proposes q points per infill for parallel
+        evaluation (beyond reference): after each in-batch pick the
+        surrogates are conditioned on a fantasized observation at the pick
+        (``lie='believer'`` = posterior mean, Kriging Believer; ``'min'``/
+        ``'max'`` = constant liar of Ginsbourger et al. 2010), the
+        acquisition re-optimizes against the conditioned posterior (EI at
+        an already-picked point collapses, so the batch spreads), and all
+        q points are then evaluated on the real problem together. y_min
+        always comes from REAL observations only."""
         for _ in range(iterations):
             # global infill counter (survives run() calls and save/load, so a
             # resumed loop keeps the exact from_scratch/full-vs-half-train
@@ -323,38 +389,51 @@ class SO_BO:
                 self.IC.resolve_scale(self.model_Y, bounds,
                                       key=self._next_run_key())
 
-            sub = self._next_run_key()
-            if self.problem.constraint:
-                if constraint_handling == "PoF":
-                    self.constrained_IC = PoF(self.feasible_0, self.d)
-                    self.added_points = self.constrained_IC.optimize_with_IC(
-                        self.IC, self.model_Y, self.model_C, bounds,
-                        popsize_DE=popsize_DE, popstd_DE=popstd_DE,
-                        iterations_DE=iterations_DE, init_adam=init_adam,
-                        iterations_adam=iterations_adam, method=IC_method,
-                        key=sub,
-                    )
-                elif constraint_handling == "EV":
-                    self.constrained_IC = EV(self.feasible_0, self.d)
-                    self.added_points = self.constrained_IC.optimize_with_IC(
-                        self.IC, self.model_Y, self.model_C, bounds,
-                        threshold=threshold, popsize_DE=popsize_DE,
+            candidates = []
+            for b in range(batch_size):
+                sub = self._next_run_key()
+                if self.problem.constraint:
+                    if constraint_handling == "PoF":
+                        self.constrained_IC = PoF(self.feasible_0, self.d)
+                        pick = self.constrained_IC.optimize_with_IC(
+                            self.IC, self.model_Y, self.model_C, bounds,
+                            popsize_DE=popsize_DE, popstd_DE=popstd_DE,
+                            iterations_DE=iterations_DE, init_adam=init_adam,
+                            iterations_adam=iterations_adam, method=IC_method,
+                            key=sub,
+                        )
+                    elif constraint_handling == "EV":
+                        self.constrained_IC = EV(self.feasible_0, self.d)
+                        pick = self.constrained_IC.optimize_with_IC(
+                            self.IC, self.model_Y, self.model_C, bounds,
+                            threshold=threshold, popsize_DE=popsize_DE,
+                            popstd_DE=popstd_DE, iterations_DE=iterations_DE,
+                            init_adam=init_adam, iterations_adam=iterations_adam,
+                            method=IC_method, analytic=analytic, key=sub,
+                        )
+                    else:
+                        raise ValueError(
+                            f"unknown constraint_handling {constraint_handling!r}"
+                        )
+                else:
+                    pick = self.IC.optimize(
+                        self.model_Y, bounds, popsize_DE=popsize_DE,
                         popstd_DE=popstd_DE, iterations_DE=iterations_DE,
                         init_adam=init_adam, iterations_adam=iterations_adam,
                         method=IC_method, analytic=analytic, key=sub,
                     )
-                else:
-                    raise ValueError(
-                        f"unknown constraint_handling {constraint_handling!r}"
-                    )
+                candidates.append(np.asarray(pick).reshape(1, self.d))
+                if b < batch_size - 1:
+                    self._apply_lie(candidates[-1], lie, lie_train_iterations)
+            # denormalize the whole batch against the PRE-append archive:
+            # every candidate was proposed in that normalization
+            if self.normalize_input:
+                raw = [denormalize(x_n, self.X) for x_n in candidates]
             else:
-                self.added_points = self.IC.optimize(
-                    self.model_Y, bounds, popsize_DE=popsize_DE,
-                    popstd_DE=popstd_DE, iterations_DE=iterations_DE,
-                    init_adam=init_adam, iterations_adam=iterations_adam,
-                    method=IC_method, analytic=analytic, key=sub,
-                )
-            self.add_point()
+                raw = candidates
+            self.added_points = np.vstack(candidates)
+            for x in raw:
+                self.add_point(x)
             self._iteration += 1
             if verbose:
                 print("Actual Y min:", self.Ymin[-1])
@@ -374,14 +453,18 @@ class SO_BO:
                     as_j(self.C_train[:, i].reshape(-1, 1)),
                 )
 
-    def add_point(self):
+    def add_point(self, x_new=None):
         """Evaluate the problem at the new point, append, renormalize
-        (SO_BO.py:315-350). ``added_points`` is [1, d]."""
-        x_new_n = np.asarray(self.added_points).reshape(1, self.d)
-        if self.normalize_input:
-            x_new = denormalize(x_new_n, self.X)
-        else:
-            x_new = x_new_n
+        (SO_BO.py:315-350). With ``x_new=None`` (the single-pick path) the
+        point is ``added_points`` [1, d] in normalized coordinates;
+        batched callers pass a raw-coordinate row directly."""
+        if x_new is None:
+            x_new_n = np.asarray(self.added_points).reshape(1, self.d)
+            if self.normalize_input:
+                x_new = denormalize(x_new_n, self.X)
+            else:
+                x_new = x_new_n
+        x_new = np.asarray(x_new, dtype=float).reshape(1, self.d)
         out = self.problem.fun(x_new)
         self.X = np.append(self.X, x_new, axis=0)
         self.Y = np.append(self.Y, np.reshape(out[0], (1, -1)), axis=0)

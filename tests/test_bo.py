@@ -411,3 +411,115 @@ def test_training_surfaces_nonfinite_loss():
     with pytest.warns(RuntimeWarning, match="non-finite"):
         training.adam_run(bad_loss, params, mask, jax.random.PRNGKey(0),
                           steps=3, lr=0.1)
+
+
+# -- batch (q-point) infill -------------------------------------------------------
+
+def test_so_bo_batch_infill_unconstrained_spreads():
+    """batch_size=q proposes q DISTINCT points per infill: the Kriging-
+    Believer lie collapses EI at an already-picked point, so the re-
+    optimized acquisition must move away from it (Ginsbourger et al. 2010)."""
+
+    class Unconstrained:
+        constraint = False
+        dim = 1
+
+        def fun(self, x):
+            return [(x - 0.3) ** 2]
+
+    spec = {"num_layers": 0, "kernels": "rbf"}
+    bo = SO_BO(problem=Unconstrained(), DoE_size=6, model_Y_dic=spec, seed=1)
+    bo.run(2, IC="EI", train_iterations=150, popsize_DE=30, iterations_DE=40,
+           IC_method="DE", batch_size=3, verbose=False)
+    # archive grows by q per infill; Ymin traces every evaluated point
+    assert bo.X.shape == (12, 1)
+    assert len(bo.Ymin) == 1 + 2 * 3
+    assert np.all(np.diff(bo.Ymin) <= 1e-12)
+    # the q picks of each infill are pairwise distinct in normalized coords
+    batch = np.asarray(bo.added_points)
+    assert batch.shape == (3, 1)
+    d01 = abs(batch[0, 0] - batch[1, 0])
+    d02 = abs(batch[0, 0] - batch[2, 0])
+    d12 = abs(batch[1, 0] - batch[2, 0])
+    assert min(d01, d02, d12) > 1e-4
+
+
+def test_so_bo_batch_lies_never_reach_archive():
+    """Fantasized observations condition the surrogates only: the real
+    archive must contain exactly the problem's own values at bo.X, and the
+    surrogate data must be rebound to the real archive after the batch."""
+
+    class Tracked:
+        constraint = False
+        dim = 1
+
+        def __init__(self):
+            self.calls = []
+
+        def fun(self, x):
+            self.calls.append(np.asarray(x).copy())
+            return [(x - 0.3) ** 2]
+
+    problem = Tracked()
+    spec = {"num_layers": 0, "kernels": "rbf"}
+    bo = SO_BO(problem=problem, DoE_size=5, model_Y_dic=spec, seed=2)
+    bo.run(1, IC="EI", train_iterations=100, popsize_DE=25, iterations_DE=30,
+           IC_method="DE", batch_size=2, lie="believer", verbose=False)
+    # every archive row is a REAL evaluation
+    np.testing.assert_allclose(bo.Y, (bo.X - 0.3) ** 2, rtol=1e-12)
+    # surrogate data was rebound to the real (normalized) archive
+    Xm, Ym = bo.model_Y.data
+    assert Xm.shape[0] == bo.X.shape[0]
+    np.testing.assert_allclose(np.asarray(Xm), bo.X_train, rtol=1e-12)
+
+
+@pytest.mark.parametrize("lie", ["min", "max"])
+def test_so_bo_batch_constant_liar(lie):
+    class Unconstrained:
+        constraint = False
+        dim = 1
+
+        def fun(self, x):
+            return [np.sin(5.0 * x) + (x - 0.4) ** 2]
+
+    spec = {"num_layers": 0, "kernels": "matern52"}
+    bo = SO_BO(problem=Unconstrained(), DoE_size=6, model_Y_dic=spec, seed=4)
+    bo.run(1, IC="EI", train_iterations=100, popsize_DE=25, iterations_DE=30,
+           IC_method="DE", batch_size=2, lie=lie, verbose=False)
+    assert bo.X.shape == (8, 1)
+    assert np.all(np.isfinite(bo.Ymin))
+
+
+def test_so_bo_batch_constrained():
+    """Constrained batch: the believer lie conditions BOTH the objective and
+    the constraint surrogates; feasibility bookkeeping stays per-point."""
+    problem = _ConstrainedProblem()
+    spec = {"num_layers": 0, "kernels": "rbf"}
+    bo = SO_BO(problem=problem, DoE_size=6, model_Y_dic=spec,
+               model_C_dic=spec, seed=3)
+    bo.run(2, IC="EI", constraint_handling="EV", train_iterations=150,
+           popsize_DE=30, iterations_DE=30, IC_method="DE", batch_size=2,
+           verbose=False)
+    assert bo.X.shape == (10, 1)
+    assert bo.C.shape == (10, 1)
+    assert len(bo.Ymin) == 1 + 2 * 2
+    assert np.all(np.diff(bo.Ymin) <= 1e-12)
+    # recorded minimum is feasible
+    i_best = np.argmin(np.where(bo.C.max(axis=1) <= 0, bo.Y[:, 0], np.inf))
+    assert bo.C[i_best].max() <= 0
+
+
+def test_so_bo_batch_unknown_lie_raises():
+    class Unconstrained:
+        constraint = False
+        dim = 1
+
+        def fun(self, x):
+            return [(x - 0.3) ** 2]
+
+    spec = {"num_layers": 0, "kernels": "rbf"}
+    bo = SO_BO(problem=Unconstrained(), DoE_size=5, model_Y_dic=spec, seed=0)
+    with pytest.raises(ValueError, match="unknown lie"):
+        bo.run(1, IC="EI", train_iterations=50, popsize_DE=20,
+               iterations_DE=10, IC_method="DE", batch_size=2,
+               lie="bogus", verbose=False)
