@@ -268,15 +268,82 @@ class MO_BO:
                 m.optimize_nat_adam(iterations1=sched[0],
                                     iterations2=sched[1], messages=0)
 
+    # -- batch (q-point) infill helpers -------------------------------------------
+    def _fantasy_objectives(self, model, x_n):
+        """Believer lie values for both objectives at x_n [1, d]: the
+        surrogate posterior means in NORMALIZED objective space. Works for
+        both surrogate forms (independent pair / coupled MO-DGP)."""
+        from ..models.dgp import moment_matched
+        from .so_bo import fantasy_mean
+
+        if isinstance(model, list):
+            return [float(fantasy_mean(m, x_n)[0, 0]) for m in model]
+        out = []
+        for i in (0, 1):
+            m_s, v_s = model.predict_f(x_n, S=64, objective=i)
+            m, _ = moment_matched(np.asarray(m_s), np.asarray(v_s))
+            out.append(float(np.asarray(m).reshape(-1)[0]))
+        return out
+
+    def _condition_on_lie(self, model, model_C, x_n, f_lie_n,
+                          lie_train_iterations):
+        """Append the fantasized (normalized) observation to the surrogate
+        training data. Exact posterior conditioning for GPRs (their
+        posterior recomputes from ``data``); DGP pairs take a short Adam
+        refit (the SVGP posterior only moves through training). The coupled
+        MO-DGP is NOT conditioned — its in-batch deduplication comes from
+        the fantasy front alone (EHVI at a point whose believer outcome is
+        already on the front is ~0)."""
+        import jax.numpy as jnp
+
+        from ..config import default_float
+        from .so_bo import fantasy_mean
+
+        dt = default_float()
+        as_j = lambda a: jnp.asarray(np.asarray(a), dtype=dt)
+
+        def _append(m, y_val):
+            Xt = np.vstack([np.asarray(m.data[0]), x_n])
+            Yt = np.vstack([np.asarray(m.data[1]),
+                            np.asarray(y_val, dtype=float).reshape(1, -1)])
+            m.data = (as_j(Xt), as_j(Yt))
+            iters = lie_train_iterations
+            if iters is None:
+                iters = 0 if m.name == "gpr" else 200
+            if iters:
+                if m.name == "gpr":
+                    m.optimize_adam(iterations=iters, lr=0.001)
+                else:
+                    m.optimize_nat_adam(iterations1=iters, iterations2=0,
+                                        messages=0)
+
+        if isinstance(model, list):
+            for i, m in enumerate(model):
+                _append(m, f_lie_n[i])
+        if model_C:
+            for m in model_C:
+                _append(m, fantasy_mean(m, x_n))
+
     # -- the loop ---------------------------------------------------------------
     def run(self, iterations=1, approximation="None", S=1000, method="DE",
             popsize_DE=300, iterations_DE=400, iterations_adam=1000,
-            verbose=True):
+            batch_size=1, lie_train_iterations=None, verbose=True):
         """``iterations`` EHVI infills; returns the hypervolume trace
         (including the initial DoE hypervolume at index 0).
 
         :param approximation: EHVI estimator — "None" (exact 2-D),
             "Gaussian", or "KDE" (bo/ehvi.py).
+        :param batch_size: q points per infill for parallel evaluation
+            (beyond reference). After each in-batch pick the believer
+            outcome (surrogate posterior means of BOTH objectives) is added
+            to a fantasy front and — for independent surrogates — the
+            surrogate data is conditioned on it (Kriging Believer,
+            Ginsbourger et al. 2010), so the re-optimized EHVI collapses at
+            the pick and the batch spreads. The hypervolume trace and
+            archive record only REAL evaluations.
+        :param lie_train_iterations: in-batch refit steps after each lie
+            (None = 0 for exact GPRs — conditioning is exact — and 200 Adam
+            steps for DGP pairs).
         """
         sched = self.model_dic.get("schedule", (100, 0, 0))
         # "auto" = run once, escalate to best-of-k only on a measured bad
@@ -293,50 +360,86 @@ class MO_BO:
 
             # padded descending front in normalized objective space, with
             # the problem's hypervolume box mapped through the same
-            # normalization (nb_modgp cell 26 workflow)
-            NDT = NDC(self.F, self.C, obj1_ascending=False)
+            # normalization (nb_modgp cell 26 workflow). The normalization
+            # stats are FROZEN for the whole batch — the surrogate was
+            # trained under them, and fantasy rows must not shift them.
             b = self.problem.bounds
             f0, f1 = self.F
-            s0, s1 = _safe_std(f0).item(), _safe_std(f1).item()
-            nadir = (float((b[2] - f0.mean()) / s0),
-                     float((b[3] - f1.mean()) / s1))
-            ideal = (float((b[0] - f0.mean()) / s0),
-                     float((b[1] - f1.mean()) / s1))
-            # repeat the nadir corner up to the bucket: zero-width staircase
-            # segments leave every EHVI estimator exactly unchanged
-            # (test_pad_front_ehvi_invariant) but keep the jitted EHVI/DE
-            # engines compile-stable while the front grows.
-            # Constrained problems can start with ZERO feasible rows — then
-            # there is no front and optimize_EHVI runs the PoF-only
-            # bootstrap (YND=None) until a feasible point lands
-            YND = (pad_front(Y_ND(Fn, NDT, nadir=nadir, ideal=ideal),
-                             self.n_bucket)
-                   if len(NDT) else None)
+            mu = (f0.mean(), f1.mean())
+            sd = (_safe_std(f0).item(), _safe_std(f1).item())
+            nadir = (float((b[2] - mu[0]) / sd[0]),
+                     float((b[3] - mu[1]) / sd[1]))
+            ideal = (float((b[0] - mu[0]) / sd[0]),
+                     float((b[1] - mu[1]) / sd[1]))
+            # fantasy copies of the archive: believer outcomes land here
+            # (and in the surrogate data) but never in self.F/self.C
+            F_fant = [self.F[0].copy(), self.F[1].copy()]
+            C_fant = self.C.copy()
+            picks = []
+            for bq in range(batch_size):
+                # repeat the nadir corner up to the bucket: zero-width
+                # staircase segments leave every EHVI estimator exactly
+                # unchanged (test_pad_front_ehvi_invariant) but keep the
+                # jitted EHVI/DE engines compile-stable while the front
+                # grows. Constrained problems can start with ZERO feasible
+                # rows — then there is no front and optimize_EHVI runs the
+                # PoF-only bootstrap (YND=None) until a feasible point lands
+                NDT = NDC(F_fant, C_fant, obj1_ascending=False)
+                Fn_fant = [(F_fant[i] - mu[i]) / sd[i] for i in (0, 1)]
+                YND = (pad_front(Y_ND(Fn_fant, NDT, nadir=nadir, ideal=ideal),
+                                 self.n_bucket)
+                       if len(NDT) else None)
 
-            x_opt_n = optimize_EHVI(
-                model, YND, method=method, popsize_DE=popsize_DE,
-                iterations_DE=iterations_DE,
-                iterations_adam=iterations_adam,
-                approximation=approximation, S=S,
-                bounds=(lw_n, up_n),
-                key=self._next_run_key(),
-                model_C=model_C, zero_c=zero_n)
-            x_new = denormalize(x_opt_n, self.X)
-            x_new = np.clip(x_new, 0.0, 1.0)
-            f_new = self._evaluate(x_new)
-            c_new = self._evaluate_cons(x_new)
+                x_opt_n = optimize_EHVI(
+                    model, YND, method=method, popsize_DE=popsize_DE,
+                    iterations_DE=iterations_DE,
+                    iterations_adam=iterations_adam,
+                    approximation=approximation, S=S,
+                    bounds=(lw_n, up_n),
+                    key=self._next_run_key(),
+                    model_C=model_C, zero_c=zero_n)
+                x_opt_n = np.asarray(x_opt_n).reshape(1, self.d)
+                picks.append(x_opt_n)
+                if bq < batch_size - 1:
+                    f_lie_n = self._fantasy_objectives(model, x_opt_n)
+                    F_fant = [np.vstack([F_fant[i],
+                                         [[f_lie_n[i] * sd[i] + mu[i]]]])
+                              for i in (0, 1)]
+                    if self.n_con:
+                        # believer constraint row: the fantasy point counts
+                        # as feasible for the fantasy front iff every
+                        # constraint surrogate's mean is feasible
+                        from .so_bo import fantasy_mean as _fm
 
-            self.X = np.vstack([self.X, x_new])
-            self.F = [np.vstack([self.F[i], f_new[i]]) for i in (0, 1)]
-            self.C = np.vstack([self.C, c_new if self.n_con
-                                else [[-1.0]]])
-            self.added_points.append(x_new)
-            self.hv_trace.append(self._hv())
+                        c_row = [1.0 if float(_fm(model_C[i],
+                                                  x_opt_n)[0, 0]) > zero_n[i]
+                                 else -1.0 for i in range(self.n_con)]
+                        C_fant = np.vstack([C_fant, [c_row]])
+                    else:
+                        C_fant = np.vstack([C_fant, [[-1.0]]])
+                    self._condition_on_lie(model, model_C, x_opt_n, f_lie_n,
+                                           lie_train_iterations)
+
+            for x_opt_n in picks:
+                # denormalize against the batch-start archive: every pick
+                # was proposed in that normalization (self.X is unchanged
+                # until these appends, so the stats are the frozen ones)
+                x_new = denormalize(x_opt_n, self.X[:len(Xn)])
+                x_new = np.clip(x_new, 0.0, 1.0)
+                f_new = self._evaluate(x_new)
+                c_new = self._evaluate_cons(x_new)
+
+                self.X = np.vstack([self.X, x_new])
+                self.F = [np.vstack([self.F[i], f_new[i]]) for i in (0, 1)]
+                self.C = np.vstack([self.C, c_new if self.n_con
+                                    else [[-1.0]]])
+                self.added_points.append(x_new)
+                self.hv_trace.append(self._hv())
+                if verbose:
+                    print(f"infill {it}: x={np.round(x_new.ravel(), 4)} "
+                          f"f=({f_new[0].item():.4f}, {f_new[1].item():.4f}) "
+                          f"HV={self.hv_trace[-1]:.5f}", flush=True)
             self._iteration += 1
-            if verbose:
-                print(f"infill {it}: x={np.round(x_new.ravel(), 4)} "
-                      f"f=({f_new[0].item():.4f}, {f_new[1].item():.4f}) "
-                      f"HV={self.hv_trace[-1]:.5f}", flush=True)
         return list(self.hv_trace)
 
     # -- checkpoint / resume -----------------------------------------------------

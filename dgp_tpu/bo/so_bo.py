@@ -125,6 +125,21 @@ def make_single_model(dic, X, Y, n_bucket=None, seed=None):
                num_samples=num_samples, n_bucket=n_bucket)
 
 
+def fantasy_mean(model, x_n, S=64):
+    """Surrogate posterior mean at x_n [1, d] (normalized coords) — the
+    Kriging-Believer lie value for batch infills (shared by SO_BO and
+    MO_BO). GPR means are exact; DGP means are moment-matched over S
+    posterior samples."""
+    from ..models.dgp import moment_matched
+
+    if model.name == "gpr":
+        m, _ = model.predict_f(x_n)
+        return np.asarray(m).reshape(1, -1)
+    m_s, v_s = model.predict_f(x_n, S=S)
+    m, _ = moment_matched(np.asarray(m_s), np.asarray(v_s))
+    return np.asarray(m).reshape(1, -1)
+
+
 class SO_BO:
     """Minimize f(x) over [0,1]^d subject to g(x) <= 0.
 
@@ -276,16 +291,7 @@ class SO_BO:
 
     # -- batch (q-point) infill helpers -------------------------------------------
     def _fantasy_mean(self, model, x_n):
-        """Surrogate posterior mean at x_n [1, d] (normalized coords) —
-        the Kriging-Believer lie value."""
-        from ..models.dgp import moment_matched
-
-        if model.name == "gpr":
-            m, _ = model.predict_f(x_n)
-            return np.asarray(m).reshape(1, -1)
-        m_s, v_s = model.predict_f(x_n, S=64)
-        m, _ = moment_matched(np.asarray(m_s), np.asarray(v_s))
-        return np.asarray(m).reshape(1, -1)
+        return fantasy_mean(model, x_n)
 
     def _apply_lie(self, x_new_n, lie, lie_train_iterations):
         """Append a fantasized observation at ``x_new_n`` to the SURROGATE

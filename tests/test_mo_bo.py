@@ -284,3 +284,60 @@ def test_mo_bo_validation_errors():
         MO_BO()
     with pytest.raises(ValueError):
         MO_BO(problem=get("multi_obj_1D_4"))
+
+
+# -- batch (q-point) infill -------------------------------------------------------
+
+def test_mo_bo_batch_infill_spreads_and_grows():
+    """batch_size=q proposes q in-batch picks per infill with the believer
+    outcome added to a fantasy front + the conditioned GPR pair, so the
+    re-optimized EHVI moves away from an already-picked point."""
+    bo = MO_BO(problem=get("multi_obj_1D_4"), DoE_size=10, seed=0)
+    n0 = len(bo.X)
+    trace = bo.run(2, batch_size=3, **_fast_run_kwargs())
+    assert len(bo.X) == n0 + 2 * 3
+    assert len(trace) == 1 + 2 * 3        # HV recorded per evaluated point
+    assert all(b >= a - 1e-12 for a, b in zip(trace, trace[1:]))
+    # the last batch's picks are pairwise distinct
+    batch = np.vstack(bo.added_points[-3:])
+    for i in range(3):
+        for j in range(i + 1, 3):
+            assert abs(batch[i, 0] - batch[j, 0]) > 1e-5
+
+
+def test_mo_bo_batch_lies_never_reach_archive():
+    """The fantasy front/conditioning must not leak into the real archive:
+    every F row equals the problem's own value at the matching X row."""
+    problem = get("multi_obj_1D_4")
+    bo = MO_BO(problem=problem, DoE_size=8, seed=2)
+    bo.run(1, batch_size=2, **_fast_run_kwargs())
+    for k, x in enumerate(bo.X):
+        f = problem.fun(x)
+        np.testing.assert_allclose(bo.F[0][k, 0], np.reshape(f[0], ()),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(bo.F[1][k, 0], np.reshape(f[1], ()),
+                                   rtol=1e-12)
+
+
+def test_mo_bo_batch_coupled_surrogate_front_only():
+    """batch_size with the coupled MO-DGP surrogate: deduplication comes
+    from the fantasy front alone (no conditioning); the loop must still
+    produce q distinct real evaluations per infill."""
+    bo = MO_BO(problem=get("multi_obj_1D_4"), DoE_size=10,
+               model_dic=_fast_spec(), seed=1)
+    n0 = len(bo.X)
+    trace = bo.run(1, batch_size=2, **_fast_run_kwargs())
+    assert len(bo.X) == n0 + 2
+    assert len(trace) == 3
+    assert np.isfinite(trace[-1])
+
+
+def test_mo_bo_batch_constrained():
+    """Constrained batch: believer constraint rows gate the fantasy front's
+    feasibility and the constraint GPRs are conditioned on their own lies."""
+    bo = MO_BO(problem=get("bnh"), DoE_size=12, seed=3)
+    n0 = len(bo.X)
+    bo.run(1, batch_size=2, **_fast_run_kwargs())
+    assert len(bo.X) == n0 + 2
+    assert bo.C.shape == (n0 + 2, bo.n_con)
+    assert np.all(np.isfinite(bo.hv_trace))
