@@ -98,6 +98,12 @@ def run_mo_cell(q, seed, fast=False):
 
 def main():
     fast = "--fast" in sys.argv
+    if "--cpu" in sys.argv or (fast and "--tpu" not in sys.argv):
+        # sitecustomize pins JAX_PLATFORMS=axon; config.update after import
+        # is the documented override (CLAUDE.md)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     out = RESULTS
     if "--out" in sys.argv:
         out = sys.argv[sys.argv.index("--out") + 1]

@@ -345,87 +345,15 @@ class MO_BO:
             (None = 0 for exact GPRs — conditioning is exact — and 200 Adam
             steps for DGP pairs).
         """
-        sched = self.model_dic.get("schedule", (100, 0, 0))
-        # "auto" = run once, escalate to best-of-k only on a measured bad
-        # basin (models/mo_dgp.py optimize_nat_adam)
-        restarts = self.model_dic.get("restarts", "auto")
-        if restarts != "auto":
-            restarts = int(restarts)
         for _ in range(iterations):
             it = self._iteration
-            Xn, Fn, lw_n, up_n = self._normalized()
-            model = self.make_model(Xn, Fn, seed=it)
-            self._train_model(model, sched, restarts)
-            model_C, zero_n = self._make_train_con_models(Xn)
-
-            # padded descending front in normalized objective space, with
-            # the problem's hypervolume box mapped through the same
-            # normalization (nb_modgp cell 26 workflow). The normalization
-            # stats are FROZEN for the whole batch — the surrogate was
-            # trained under them, and fantasy rows must not shift them.
-            b = self.problem.bounds
-            f0, f1 = self.F
-            mu = (f0.mean(), f1.mean())
-            sd = (_safe_std(f0).item(), _safe_std(f1).item())
-            nadir = (float((b[2] - mu[0]) / sd[0]),
-                     float((b[3] - mu[1]) / sd[1]))
-            ideal = (float((b[0] - mu[0]) / sd[0]),
-                     float((b[1] - mu[1]) / sd[1]))
-            # fantasy copies of the archive: believer outcomes land here
-            # (and in the surrogate data) but never in self.F/self.C
-            F_fant = [self.F[0].copy(), self.F[1].copy()]
-            C_fant = self.C.copy()
-            picks = []
-            for bq in range(batch_size):
-                # repeat the nadir corner up to the bucket: zero-width
-                # staircase segments leave every EHVI estimator exactly
-                # unchanged (test_pad_front_ehvi_invariant) but keep the
-                # jitted EHVI/DE engines compile-stable while the front
-                # grows. Constrained problems can start with ZERO feasible
-                # rows — then there is no front and optimize_EHVI runs the
-                # PoF-only bootstrap (YND=None) until a feasible point lands
-                NDT = NDC(F_fant, C_fant, obj1_ascending=False)
-                Fn_fant = [(F_fant[i] - mu[i]) / sd[i] for i in (0, 1)]
-                YND = (pad_front(Y_ND(Fn_fant, NDT, nadir=nadir, ideal=ideal),
-                                 self.n_bucket)
-                       if len(NDT) else None)
-
-                x_opt_n = optimize_EHVI(
-                    model, YND, method=method, popsize_DE=popsize_DE,
-                    iterations_DE=iterations_DE,
-                    iterations_adam=iterations_adam,
-                    approximation=approximation, S=S,
-                    bounds=(lw_n, up_n),
-                    key=self._next_run_key(),
-                    model_C=model_C, zero_c=zero_n)
-                x_opt_n = np.asarray(x_opt_n).reshape(1, self.d)
-                picks.append(x_opt_n)
-                if bq < batch_size - 1:
-                    f_lie_n = self._fantasy_objectives(model, x_opt_n)
-                    F_fant = [np.vstack([F_fant[i],
-                                         [[f_lie_n[i] * sd[i] + mu[i]]]])
-                              for i in (0, 1)]
-                    if self.n_con:
-                        # believer constraint row: the fantasy point counts
-                        # as feasible for the fantasy front iff every
-                        # constraint surrogate's mean is feasible
-                        from .so_bo import fantasy_mean as _fm
-
-                        c_row = [1.0 if float(_fm(model_C[i],
-                                                  x_opt_n)[0, 0]) > zero_n[i]
-                                 else -1.0 for i in range(self.n_con)]
-                        C_fant = np.vstack([C_fant, [c_row]])
-                    else:
-                        C_fant = np.vstack([C_fant, [[-1.0]]])
-                    self._condition_on_lie(model, model_C, x_opt_n, f_lie_n,
-                                           lie_train_iterations)
-
-            for x_opt_n in picks:
-                # denormalize against the batch-start archive: every pick
-                # was proposed in that normalization (self.X is unchanged
-                # until these appends, so the stats are the frozen ones)
-                x_new = denormalize(x_opt_n, self.X[:len(Xn)])
-                x_new = np.clip(x_new, 0.0, 1.0)
+            raw = self._propose(
+                batch_size=batch_size, approximation=approximation, S=S,
+                method=method, popsize_DE=popsize_DE,
+                iterations_DE=iterations_DE,
+                iterations_adam=iterations_adam,
+                lie_train_iterations=lie_train_iterations)
+            for x_new in raw:
                 f_new = self._evaluate(x_new)
                 c_new = self._evaluate_cons(x_new)
 
@@ -440,6 +368,138 @@ class MO_BO:
                           f"f=({f_new[0].item():.4f}, {f_new[1].item():.4f}) "
                           f"HV={self.hv_trace[-1]:.5f}", flush=True)
             self._iteration += 1
+        return list(self.hv_trace)
+
+    def _propose(self, batch_size=1, approximation="None", S=1000,
+                 method="DE", popsize_DE=300, iterations_DE=400,
+                 iterations_adam=1000, lie_train_iterations=None):
+        """One acquisition round: train a fresh surrogate on the current
+        archive, maximize EHVI ``batch_size`` times with believer
+        conditioning + fantasy-front updates between picks, and return the
+        picks as a list of raw-coordinate [1, d] rows (clipped to the
+        domain box; the archive is NOT touched)."""
+        sched = self.model_dic.get("schedule", (100, 0, 0))
+        # "auto" = run once, escalate to best-of-k only on a measured bad
+        # basin (models/mo_dgp.py optimize_nat_adam)
+        restarts = self.model_dic.get("restarts", "auto")
+        if restarts != "auto":
+            restarts = int(restarts)
+        it = self._iteration
+        Xn, Fn, lw_n, up_n = self._normalized()
+        model = self.make_model(Xn, Fn, seed=it)
+        self._train_model(model, sched, restarts)
+        model_C, zero_n = self._make_train_con_models(Xn)
+
+        # padded descending front in normalized objective space, with
+        # the problem's hypervolume box mapped through the same
+        # normalization (nb_modgp cell 26 workflow). The normalization
+        # stats are FROZEN for the whole batch — the surrogate was
+        # trained under them, and fantasy rows must not shift them.
+        b = self.problem.bounds
+        f0, f1 = self.F
+        mu = (f0.mean(), f1.mean())
+        sd = (_safe_std(f0).item(), _safe_std(f1).item())
+        nadir = (float((b[2] - mu[0]) / sd[0]),
+                 float((b[3] - mu[1]) / sd[1]))
+        ideal = (float((b[0] - mu[0]) / sd[0]),
+                 float((b[1] - mu[1]) / sd[1]))
+        # fantasy copies of the archive: believer outcomes land here
+        # (and in the surrogate data) but never in self.F/self.C
+        F_fant = [self.F[0].copy(), self.F[1].copy()]
+        C_fant = self.C.copy()
+        picks = []
+        for bq in range(batch_size):
+            # repeat the nadir corner up to the bucket: zero-width
+            # staircase segments leave every EHVI estimator exactly
+            # unchanged (test_pad_front_ehvi_invariant) but keep the
+            # jitted EHVI/DE engines compile-stable while the front
+            # grows. Constrained problems can start with ZERO feasible
+            # rows — then there is no front and optimize_EHVI runs the
+            # PoF-only bootstrap (YND=None) until a feasible point lands
+            NDT = NDC(F_fant, C_fant, obj1_ascending=False)
+            Fn_fant = [(F_fant[i] - mu[i]) / sd[i] for i in (0, 1)]
+            YND = (pad_front(Y_ND(Fn_fant, NDT, nadir=nadir, ideal=ideal),
+                             self.n_bucket)
+                   if len(NDT) else None)
+
+            x_opt_n = optimize_EHVI(
+                model, YND, method=method, popsize_DE=popsize_DE,
+                iterations_DE=iterations_DE,
+                iterations_adam=iterations_adam,
+                approximation=approximation, S=S,
+                bounds=(lw_n, up_n),
+                key=self._next_run_key(),
+                model_C=model_C, zero_c=zero_n)
+            x_opt_n = np.asarray(x_opt_n).reshape(1, self.d)
+            picks.append(x_opt_n)
+            if bq < batch_size - 1:
+                f_lie_n = self._fantasy_objectives(model, x_opt_n)
+                F_fant = [np.vstack([F_fant[i],
+                                     [[f_lie_n[i] * sd[i] + mu[i]]]])
+                          for i in (0, 1)]
+                if self.n_con:
+                    # believer constraint row: the fantasy point counts
+                    # as feasible for the fantasy front iff every
+                    # constraint surrogate's mean is feasible
+                    from .so_bo import fantasy_mean as _fm
+
+                    c_row = [1.0 if float(_fm(model_C[i],
+                                              x_opt_n)[0, 0]) > zero_n[i]
+                             else -1.0 for i in range(self.n_con)]
+                    C_fant = np.vstack([C_fant, [c_row]])
+                else:
+                    C_fant = np.vstack([C_fant, [[-1.0]]])
+                self._condition_on_lie(model, model_C, x_opt_n, f_lie_n,
+                                       lie_train_iterations)
+
+        # denormalize against the batch-start archive (self.X is
+        # untouched here, so its stats are the frozen ones every pick
+        # was proposed in) and clip to the domain box
+        return [np.clip(denormalize(x_opt_n, self.X), 0.0, 1.0)
+                for x_opt_n in picks]
+
+    # -- ask/tell interface ---------------------------------------------------------
+    def suggest(self, batch_size=1, **propose_kwargs):
+        """Ask/tell interface, step 1 (beyond reference): train a fresh
+        surrogate and return ``batch_size`` EHVI-proposed points as a raw-
+        coordinate [q, d] array WITHOUT evaluating the problem — for
+        external/asynchronous evaluation. Feed results back with
+        :meth:`observe`. Accepts :meth:`run`'s keyword arguments
+        (approximation=, S=, method=, ...). Shares the infill counter and
+        PRNG stream with ``run``, so the two interleave freely."""
+        raw = self._propose(batch_size=batch_size, **propose_kwargs)
+        return np.vstack(raw)
+
+    def observe(self, X_new, F_new, C_new=None):
+        """Ask/tell interface, step 2: append externally evaluated points.
+
+        :param X_new: [q, d] raw coordinates.
+        :param F_new: the two objective columns — a list/tuple of two
+            [q]- or [q, 1]-shaped arrays, or one [q, 2] array.
+        :param C_new: [q, n_con] constraint values for constrained
+            problems (<= 0 feasible)."""
+        X_new = np.asarray(X_new, dtype=float).reshape(-1, self.d)
+        q = len(X_new)
+        if isinstance(F_new, (list, tuple)):
+            F_cols = [np.asarray(F_new[i], dtype=float).reshape(q, 1)
+                      for i in (0, 1)]
+        else:
+            F_new = np.asarray(F_new, dtype=float).reshape(q, 2)
+            F_cols = [F_new[:, i:i + 1] for i in (0, 1)]
+        if self.n_con:
+            if C_new is None:
+                raise ValueError(
+                    "constrained problem: constraint values are required")
+            C_rows = np.asarray(C_new, dtype=float).reshape(q, self.n_con)
+        for i in range(q):
+            self.X = np.vstack([self.X, X_new[i:i + 1]])
+            self.F = [np.vstack([self.F[j], F_cols[j][i:i + 1]])
+                      for j in (0, 1)]
+            self.C = np.vstack([self.C, C_rows[i:i + 1] if self.n_con
+                                else [[-1.0]]])
+            self.added_points.append(X_new[i:i + 1])
+            self.hv_trace.append(self._hv())
+        self._iteration += 1
         return list(self.hv_trace)
 
     # -- checkpoint / resume -----------------------------------------------------

@@ -353,96 +353,148 @@ class SO_BO:
         q points are then evaluated on the real problem together. y_min
         always comes from REAL observations only."""
         for _ in range(iterations):
-            # global infill counter (survives run() calls and save/load, so a
-            # resumed loop keeps the exact from_scratch/full-vs-half-train
-            # cadence of the uninterrupted one)
-            j = self._iteration
-            if verbose:
-                print(f"adding the most promising data point in iteration {j}")
-            bounds = (self.lw_n, self.up_n)
-            rebuild = from_scratch is not None and j != 0 and j % from_scratch == 0
-            if rebuild:
-                self.model_Y = self.make_model(
-                    self.model_Y_dic, self.X_train, self.Y_train
-                )
-                if self.problem.constraint:
-                    self.model_C = [
-                        self.make_model(
-                            self.model_C_dic[i], self.X_train,
-                            self.C_train[:, i].reshape(-1, 1),
-                        )
-                        for i in range(self.C.shape[1])
-                    ]
-            if j == 0 or rebuild:
-                self.train_models(train_iterations, train_iterations)
-            else:
-                self._rebind_data()
-                self.train_models(train_iterations // 2, train_iterations // 2)
-
-            y_min_n = (self.Ymin[-1] - self.Y.mean(axis=0)) / _safe_std(self.Y)
-            if IC == "EI":
-                self.IC = EI(y_min_n, self.d)
-            elif IC == "WB2":
-                self.IC = WB2(y_min_n, self.d)
-            elif IC == "WB2S":
-                self.IC = WB2S(y_min_n, self.d)
-            else:
-                raise ValueError(f"unknown IC {IC!r}")
-
-            if isinstance(self.IC, WB2S):
-                # adaptive s is resolved from the unconstrained EI maximizer
-                # once per infill (fresh y_min => fresh IC object)
-                self.IC.resolve_scale(self.model_Y, bounds,
-                                      key=self._next_run_key())
-
-            candidates = []
-            for b in range(batch_size):
-                sub = self._next_run_key()
-                if self.problem.constraint:
-                    if constraint_handling == "PoF":
-                        self.constrained_IC = PoF(self.feasible_0, self.d)
-                        pick = self.constrained_IC.optimize_with_IC(
-                            self.IC, self.model_Y, self.model_C, bounds,
-                            popsize_DE=popsize_DE, popstd_DE=popstd_DE,
-                            iterations_DE=iterations_DE, init_adam=init_adam,
-                            iterations_adam=iterations_adam, method=IC_method,
-                            key=sub,
-                        )
-                    elif constraint_handling == "EV":
-                        self.constrained_IC = EV(self.feasible_0, self.d)
-                        pick = self.constrained_IC.optimize_with_IC(
-                            self.IC, self.model_Y, self.model_C, bounds,
-                            threshold=threshold, popsize_DE=popsize_DE,
-                            popstd_DE=popstd_DE, iterations_DE=iterations_DE,
-                            init_adam=init_adam, iterations_adam=iterations_adam,
-                            method=IC_method, analytic=analytic, key=sub,
-                        )
-                    else:
-                        raise ValueError(
-                            f"unknown constraint_handling {constraint_handling!r}"
-                        )
-                else:
-                    pick = self.IC.optimize(
-                        self.model_Y, bounds, popsize_DE=popsize_DE,
-                        popstd_DE=popstd_DE, iterations_DE=iterations_DE,
-                        init_adam=init_adam, iterations_adam=iterations_adam,
-                        method=IC_method, analytic=analytic, key=sub,
-                    )
-                candidates.append(np.asarray(pick).reshape(1, self.d))
-                if b < batch_size - 1:
-                    self._apply_lie(candidates[-1], lie, lie_train_iterations)
-            # denormalize the whole batch against the PRE-append archive:
-            # every candidate was proposed in that normalization
-            if self.normalize_input:
-                raw = [denormalize(x_n, self.X) for x_n in candidates]
-            else:
-                raw = candidates
-            self.added_points = np.vstack(candidates)
+            raw = self._propose(
+                batch_size=batch_size, IC=IC,
+                constraint_handling=constraint_handling, threshold=threshold,
+                train_iterations=train_iterations, popsize_DE=popsize_DE,
+                popstd_DE=popstd_DE, iterations_DE=iterations_DE,
+                init_adam=init_adam, iterations_adam=iterations_adam,
+                IC_method=IC_method, analytic=analytic, lie=lie,
+                lie_train_iterations=lie_train_iterations,
+                from_scratch=from_scratch, verbose=verbose)
             for x in raw:
                 self.add_point(x)
             self._iteration += 1
             if verbose:
                 print("Actual Y min:", self.Ymin[-1])
+
+    def _propose(self, batch_size=1, IC="EI", constraint_handling="PoF",
+                 threshold=0.1, train_iterations=1000, popsize_DE=300,
+                 popstd_DE=1.5, iterations_DE=400, init_adam=None,
+                 iterations_adam=1000, IC_method="DE+Adam", analytic=True,
+                 lie="believer", lie_train_iterations=None, from_scratch=None,
+                 verbose=False):
+        """One acquisition round: (re)train the surrogates on the current
+        archive, maximize the infill criterion ``batch_size`` times with
+        believer/liar conditioning between picks, and return the picks as a
+        list of raw-coordinate [1, d] rows (the archive is NOT touched —
+        callers evaluate and append via :meth:`add_point` /
+        :meth:`observe`). Also sets ``added_points`` (normalized [q, d])."""
+        # global infill counter (survives run() calls and save/load, so a
+        # resumed loop keeps the exact from_scratch/full-vs-half-train
+        # cadence of the uninterrupted one)
+        j = self._iteration
+        if verbose:
+            print(f"adding the most promising data point in iteration {j}")
+        bounds = (self.lw_n, self.up_n)
+        rebuild = from_scratch is not None and j != 0 and j % from_scratch == 0
+        if rebuild:
+            self.model_Y = self.make_model(
+                self.model_Y_dic, self.X_train, self.Y_train
+            )
+            if self.problem.constraint:
+                self.model_C = [
+                    self.make_model(
+                        self.model_C_dic[i], self.X_train,
+                        self.C_train[:, i].reshape(-1, 1),
+                    )
+                    for i in range(self.C.shape[1])
+                ]
+        if j == 0 or rebuild:
+            self.train_models(train_iterations, train_iterations)
+        else:
+            self._rebind_data()
+            self.train_models(train_iterations // 2, train_iterations // 2)
+
+        y_min_n = (self.Ymin[-1] - self.Y.mean(axis=0)) / _safe_std(self.Y)
+        if IC == "EI":
+            self.IC = EI(y_min_n, self.d)
+        elif IC == "WB2":
+            self.IC = WB2(y_min_n, self.d)
+        elif IC == "WB2S":
+            self.IC = WB2S(y_min_n, self.d)
+        else:
+            raise ValueError(f"unknown IC {IC!r}")
+
+        if isinstance(self.IC, WB2S):
+            # adaptive s is resolved from the unconstrained EI maximizer
+            # once per infill (fresh y_min => fresh IC object)
+            self.IC.resolve_scale(self.model_Y, bounds,
+                                  key=self._next_run_key())
+
+        candidates = []
+        for b in range(batch_size):
+            sub = self._next_run_key()
+            if self.problem.constraint:
+                if constraint_handling == "PoF":
+                    self.constrained_IC = PoF(self.feasible_0, self.d)
+                    pick = self.constrained_IC.optimize_with_IC(
+                        self.IC, self.model_Y, self.model_C, bounds,
+                        popsize_DE=popsize_DE, popstd_DE=popstd_DE,
+                        iterations_DE=iterations_DE, init_adam=init_adam,
+                        iterations_adam=iterations_adam, method=IC_method,
+                        key=sub,
+                    )
+                elif constraint_handling == "EV":
+                    self.constrained_IC = EV(self.feasible_0, self.d)
+                    pick = self.constrained_IC.optimize_with_IC(
+                        self.IC, self.model_Y, self.model_C, bounds,
+                        threshold=threshold, popsize_DE=popsize_DE,
+                        popstd_DE=popstd_DE, iterations_DE=iterations_DE,
+                        init_adam=init_adam, iterations_adam=iterations_adam,
+                        method=IC_method, analytic=analytic, key=sub,
+                    )
+                else:
+                    raise ValueError(
+                        f"unknown constraint_handling {constraint_handling!r}"
+                    )
+            else:
+                pick = self.IC.optimize(
+                    self.model_Y, bounds, popsize_DE=popsize_DE,
+                    popstd_DE=popstd_DE, iterations_DE=iterations_DE,
+                    init_adam=init_adam, iterations_adam=iterations_adam,
+                    method=IC_method, analytic=analytic, key=sub,
+                )
+            candidates.append(np.asarray(pick).reshape(1, self.d))
+            if b < batch_size - 1:
+                self._apply_lie(candidates[-1], lie, lie_train_iterations)
+        # denormalize the whole batch against the PRE-append archive:
+        # every candidate was proposed in that normalization
+        if self.normalize_input:
+            raw = [denormalize(x_n, self.X) for x_n in candidates]
+        else:
+            raw = candidates
+        self.added_points = np.vstack(candidates)
+        return raw
+
+    # -- ask/tell interface ---------------------------------------------------------
+    def suggest(self, batch_size=1, **propose_kwargs):
+        """Ask/tell interface, step 1 (beyond reference): train the
+        surrogates and return ``batch_size`` proposed points as a raw-
+        coordinate [q, d] array WITHOUT evaluating the problem — for
+        external/asynchronous evaluation (simulators the loop cannot call).
+        Feed the results back with :meth:`observe`. Accepts the same
+        keyword arguments as :meth:`run` (IC=, IC_method=, lie=, ...).
+
+        ``suggest``/``observe`` and ``run`` share the infill counter and
+        PRNG stream, so they can be interleaved (and checkpointed with
+        save/load) freely."""
+        raw = self._propose(batch_size=batch_size, **propose_kwargs)
+        return np.vstack(raw)
+
+    def observe(self, X_new, Y_new, C_new=None):
+        """Ask/tell interface, step 2: append externally evaluated points
+        (raw coordinates + objective values, and constraint values for
+        constrained problems), update the feasible set / Ymin trace /
+        normalization, and advance the infill counter."""
+        X_new = np.asarray(X_new, dtype=float).reshape(-1, self.d)
+        Y_new = np.asarray(Y_new, dtype=float).reshape(len(X_new), -1)
+        if C_new is not None:
+            C_new = np.asarray(C_new, dtype=float).reshape(len(X_new), -1)
+        for i in range(len(X_new)):
+            self._append_observation(
+                X_new[i], Y_new[i], C_new[i] if C_new is not None else None)
+        self._iteration += 1
 
     def _rebind_data(self):
         import jax.numpy as jnp
@@ -472,10 +524,22 @@ class SO_BO:
                 x_new = x_new_n
         x_new = np.asarray(x_new, dtype=float).reshape(1, self.d)
         out = self.problem.fun(x_new)
+        self._append_observation(
+            x_new, out[0], out[1] if self.problem.constraint else None)
+
+    def _append_observation(self, x_new, y_new, c_new=None):
+        """Archive bookkeeping for ONE observed point: append, update the
+        feasible set + Ymin trace, renormalize, rebind surrogate data."""
+        x_new = np.asarray(x_new, dtype=float).reshape(1, self.d)
+        if self.problem.constraint and c_new is None:
+            # validate BEFORE any append — a raised observe() must leave
+            # the archive untouched
+            raise ValueError(
+                "constrained problem: constraint values are required")
         self.X = np.append(self.X, x_new, axis=0)
-        self.Y = np.append(self.Y, np.reshape(out[0], (1, -1)), axis=0)
+        self.Y = np.append(self.Y, np.reshape(y_new, (1, -1)), axis=0)
         if self.problem.constraint:
-            self.C = np.append(self.C, np.reshape(out[1], (1, -1)), axis=0)
+            self.C = np.append(self.C, np.reshape(c_new, (1, -1)), axis=0)
             if self.C[-1].max() <= 0:
                 # append as rows: the reference's axis-less np.append
                 # (SO_BO.py:332-333) flattened the feasible archive to 1-D,

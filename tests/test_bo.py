@@ -523,3 +523,51 @@ def test_so_bo_batch_unknown_lie_raises():
         bo.run(1, IC="EI", train_iterations=50, popsize_DE=20,
                iterations_DE=10, IC_method="DE", batch_size=2,
                lie="bogus", verbose=False)
+
+
+# -- ask/tell (suggest/observe) ---------------------------------------------------
+
+def test_so_bo_suggest_observe_matches_run_exactly():
+    """suggest()+observe() with externally computed values must reproduce
+    run()'s trajectory bit-exactly: same key stream, same infill counter,
+    same archive bookkeeping."""
+
+    class Unconstrained:
+        constraint = False
+        dim = 1
+
+        def fun(self, x):
+            return [(x - 0.3) ** 2]
+
+    spec = {"num_layers": 0, "kernels": "rbf"}
+    kw = dict(IC="EI", train_iterations=100, popsize_DE=25, iterations_DE=30,
+              IC_method="DE")
+
+    bo1 = SO_BO(problem=Unconstrained(), DoE_size=6, model_Y_dic=spec, seed=7)
+    bo1.run(2, batch_size=2, verbose=False, **kw)
+
+    bo2 = SO_BO(problem=Unconstrained(), DoE_size=6, model_Y_dic=spec, seed=7)
+    for _ in range(2):
+        X_new = bo2.suggest(batch_size=2, **kw)
+        assert X_new.shape == (2, 1)
+        bo2.observe(X_new, (X_new - 0.3) ** 2)
+
+    np.testing.assert_array_equal(bo1.X, bo2.X)
+    np.testing.assert_array_equal(bo1.Y, bo2.Y)
+    np.testing.assert_array_equal(np.asarray(bo1.Ymin), np.asarray(bo2.Ymin))
+    np.testing.assert_array_equal(np.asarray(bo1._run_key),
+                                  np.asarray(bo2._run_key))
+    assert bo1._iteration == bo2._iteration
+
+
+def test_so_bo_observe_constrained_requires_c():
+    problem = _ConstrainedProblem()
+    spec = {"num_layers": 0, "kernels": "rbf"}
+    bo = SO_BO(problem=problem, DoE_size=6, model_Y_dic=spec,
+               model_C_dic=spec, seed=1)
+    x = np.asarray([[0.2]])
+    with pytest.raises(ValueError, match="constraint values"):
+        bo.observe(x, np.asarray([[0.01]]))
+    bo.observe(x, np.asarray([[0.01]]), np.asarray([[-1.0]]))
+    assert bo.X.shape == (7, 1) and bo.C.shape == (7, 1)
+    assert bo.Ymin[-1] <= 0.01 + 1e-12

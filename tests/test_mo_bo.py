@@ -341,3 +341,48 @@ def test_mo_bo_batch_constrained():
     assert len(bo.X) == n0 + 2
     assert bo.C.shape == (n0 + 2, bo.n_con)
     assert np.all(np.isfinite(bo.hv_trace))
+
+
+# -- ask/tell (suggest/observe) ---------------------------------------------------
+
+def test_mo_bo_suggest_observe_matches_run_exactly():
+    problem = get("multi_obj_1D_4")
+    kw = _fast_run_kwargs()
+    kw.pop("verbose")
+
+    bo1 = MO_BO(problem=problem, DoE_size=8, seed=5)
+    bo1.run(2, batch_size=2, verbose=False, **kw)
+
+    bo2 = MO_BO(problem=problem, DoE_size=8, seed=5)
+    for _ in range(2):
+        X_new = bo2.suggest(batch_size=2, **kw)
+        assert X_new.shape == (2, 1)
+        F_new = [np.asarray([np.reshape(problem.fun(x)[i], ()) for x in X_new])
+                 for i in (0, 1)]
+        bo2.observe(X_new, F_new)
+
+    np.testing.assert_array_equal(bo1.X, bo2.X)
+    np.testing.assert_array_equal(bo1.F[0], bo2.F[0])
+    np.testing.assert_allclose(bo1.hv_trace, bo2.hv_trace, rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(bo1._run_key),
+                                  np.asarray(bo2._run_key))
+    assert bo1._iteration == bo2._iteration
+
+
+def test_mo_bo_observe_accepts_stacked_f():
+    problem = get("multi_obj_1D_4")
+    bo = MO_BO(problem=problem, DoE_size=8, seed=6)
+    n0 = len(bo.X)
+    X_new = np.asarray([[0.3], [0.7]])
+    F_stacked = np.asarray([[0.1, 0.2], [0.3, 0.4]])
+    trace = bo.observe(X_new, F_stacked)
+    assert len(bo.X) == n0 + 2
+    np.testing.assert_allclose(bo.F[0][-2:, 0], [0.1, 0.3])
+    np.testing.assert_allclose(bo.F[1][-2:, 0], [0.2, 0.4])
+    assert len(trace) == 1 + 2
+
+
+def test_mo_bo_observe_constrained_requires_c():
+    bo = MO_BO(problem=get("bnh"), DoE_size=10, seed=0)
+    with pytest.raises(ValueError, match="constraint values"):
+        bo.observe(np.asarray([[0.5, 0.5]]), np.asarray([[1.0, 2.0]]))
