@@ -238,36 +238,68 @@ class MF_BO:
         (they refine the surrogate); their cost is still accounted in
         ``cost_trace``.
         """
-        from .acquisition import EI
-
         for _ in range(iterations):
             it = self._iteration
-            Ys_n, mu, sd = self._normalized_Y()
-            model = self._fit_model(Ys_n, seed=it)
-
-            y_min_n = float((np.min(self.Y[-1]) - mu) / sd)
-            ic = EI(y_min_n, self.d)
-            x_new = ic.optimize(
-                model, bounds=(0.0, 1.0), popsize_DE=popsize_DE,
-                iterations_DE=iterations_DE, num_samples=num_samples,
-                key=self._next_run_key())
-            x_new = np.clip(np.asarray(x_new).reshape(1, self.d), 0.0, 1.0)
-
-            f = self._select_fidelity(model, x_new)
+            x_new, f = self._propose(IC=IC, popsize_DE=popsize_DE,
+                                     iterations_DE=iterations_DE,
+                                     num_samples=num_samples)
             y_new = np.asarray(self.fidelities[f](x_new),
                                dtype=float).reshape(1, 1)
-            self.X[f] = np.vstack([self.X[f], x_new])
-            self.Y[f] = np.vstack([self.Y[f], y_new])
-            self.fidelity_choices.append(f)
-            self.cost_spent += self.costs[f]
-            self.best_trace.append(float(np.min(self.Y[-1])))
-            self.cost_trace.append(self.cost_spent)
-            self._iteration += 1
+            self.observe(x_new, y_new, f)
             if verbose:
                 print(f"infill {it}: x={np.round(x_new.ravel(), 4)} "
                       f"fidelity={f} y={y_new.item():.4f} "
                       f"best_hf={self.best_trace[-1]:.4f} "
                       f"cost={self.cost_spent:.2f}", flush=True)
+        return list(self.best_trace)
+
+    def _propose(self, IC="EI", popsize_DE=300, iterations_DE=400,
+                 num_samples=500):
+        """One acquisition round: fit a fresh surrogate, maximize EI on the
+        top-fidelity posterior, pick the query fidelity (BOCA rule +
+        duplicate-escalation guard). Returns ``(x_new [1, d], fidelity)``
+        without evaluating or touching the archives."""
+        from .acquisition import EI
+
+        it = self._iteration
+        Ys_n, mu, sd = self._normalized_Y()
+        model = self._fit_model(Ys_n, seed=it)
+
+        y_min_n = float((np.min(self.Y[-1]) - mu) / sd)
+        ic = EI(y_min_n, self.d)
+        x_new = ic.optimize(
+            model, bounds=(0.0, 1.0), popsize_DE=popsize_DE,
+            iterations_DE=iterations_DE, num_samples=num_samples,
+            key=self._next_run_key())
+        x_new = np.clip(np.asarray(x_new).reshape(1, self.d), 0.0, 1.0)
+        return x_new, self._select_fidelity(model, x_new)
+
+    # -- ask/tell interface ---------------------------------------------------------
+    def suggest(self, **propose_kwargs):
+        """Ask/tell interface, step 1 (beyond reference): return the next
+        query as ``(x_new [1, d], fidelity)`` WITHOUT evaluating the source
+        — for external/asynchronous evaluation. Feed the result back with
+        :meth:`observe`. Accepts :meth:`run`'s keyword arguments; shares
+        the infill counter and PRNG stream with ``run``."""
+        return self._propose(**propose_kwargs)
+
+    def observe(self, x_new, y_new, fidelity):
+        """Ask/tell interface, step 2: append one externally evaluated
+        observation at ``fidelity``, account its cost, and advance the
+        infill counter. Lower-fidelity observations refine the surrogate
+        but do not change the best-high-fidelity trace."""
+        f = int(fidelity)
+        if not 0 <= f < self.n_fid:
+            raise ValueError(f"fidelity must be in [0, {self.n_fid - 1}]")
+        x_new = np.asarray(x_new, dtype=float).reshape(1, self.d)
+        y_new = np.asarray(y_new, dtype=float).reshape(1, 1)
+        self.X[f] = np.vstack([self.X[f], x_new])
+        self.Y[f] = np.vstack([self.Y[f], y_new])
+        self.fidelity_choices.append(f)
+        self.cost_spent += self.costs[f]
+        self.best_trace.append(float(np.min(self.Y[-1])))
+        self.cost_trace.append(self.cost_spent)
+        self._iteration += 1
         return list(self.best_trace)
 
     @property

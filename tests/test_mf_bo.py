@@ -164,3 +164,45 @@ def test_mf_bo_validation_errors():
               DoE_sizes=(4, 2), d=1)
     # the shipped default is the bake-off winner (mf_bo_bakeoff.json)
     assert DEFAULT_MODEL_DIC["type"] == "ar1"
+
+
+# -- ask/tell (suggest/observe) ---------------------------------------------------
+
+def test_mf_bo_suggest_observe_matches_run_exactly():
+    """suggest()+observe() with externally computed values reproduces
+    run()'s trajectory bit-exactly (same key stream + infill counter)."""
+    kw = _fast_run_kwargs()
+    kw.pop("verbose")
+    fids = [forrester_low, forrester_high]
+
+    bo1 = MF_BO(fidelities=fids, DoE_sizes=(8, 4), d=1,
+                model_dic=_fast_spec(), seed=3)
+    bo1.run(2, verbose=False, **kw)
+
+    bo2 = MF_BO(fidelities=fids, DoE_sizes=(8, 4), d=1,
+                model_dic=_fast_spec(), seed=3)
+    for _ in range(2):
+        x_new, f = bo2.suggest(**kw)
+        assert x_new.shape == (1, 1) and f in (0, 1)
+        y_new = np.asarray(fids[f](x_new), dtype=float).reshape(1, 1)
+        bo2.observe(x_new, y_new, f)
+
+    for f in range(2):
+        np.testing.assert_array_equal(bo1.X[f], bo2.X[f])
+        np.testing.assert_array_equal(bo1.Y[f], bo2.Y[f])
+    assert bo1.fidelity_choices == bo2.fidelity_choices
+    np.testing.assert_allclose(bo1.best_trace, bo2.best_trace)
+    np.testing.assert_array_equal(np.asarray(bo1._run_key),
+                                  np.asarray(bo2._run_key))
+
+
+def test_mf_bo_observe_validates_fidelity():
+    bo = MF_BO(fidelities=[forrester_low, forrester_high], DoE_sizes=(6, 3),
+               d=1, model_dic=_fast_spec(), seed=0)
+    with pytest.raises(ValueError, match="fidelity"):
+        bo.observe(np.asarray([[0.5]]), np.asarray([[1.0]]), 2)
+    # a low-fidelity observation accounts cost but keeps the best trace
+    best0 = bo.best_trace[-1]
+    bo.observe(np.asarray([[0.5]]), np.asarray([[-100.0]]), 0)
+    assert bo.best_trace[-1] == best0
+    assert bo.cost_spent == pytest.approx(bo.costs[0])
