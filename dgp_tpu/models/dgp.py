@@ -329,6 +329,36 @@ class DGP:
         mean, var = moment_matched(y_m, y_v)
         return np.asarray(mean), np.asarray(var)
 
+    def predict_y_sharded(self, Xnew, num_samples, mesh=None, chunk_size=None):
+        """Data-parallel batch inference (serving path, beyond reference):
+        rows of ``Xnew`` shard over the mesh's data axis, each device runs
+        the conditional math on its local rows (no collectives — prediction
+        is row-parallel), outputs gather back to the true row count.
+
+        :param mesh: 1-D data mesh (default: the model's training mesh).
+        :param chunk_size: optional device-multiple row chunk — bounds the
+            on-device ``[S, chunk, D]`` intermediates for very large
+            prediction sets (one compiled program, host loop over chunks).
+        :returns: ``(mean, var)`` each ``[S, N, D]``, as ``predict_y``.
+        """
+        from ..parallel import serving
+
+        mesh = mesh if mesh is not None else self.mesh
+        if mesh is None:
+            raise ValueError("predict_y_sharded needs a mesh (pass mesh= or "
+                             "construct the model with one)")
+        Xnew = jnp.asarray(Xnew, dtype=default_float())
+        engine = serving.sharded_predict_y(mesh, num_samples)
+        key = self._next_key()
+        if chunk_size is not None:
+            if chunk_size % mesh.devices.size:
+                raise ValueError("chunk_size must be a device multiple")
+            return serving.predict_in_chunks(
+                engine, self.params, Xnew, key, chunk_size)
+        Xp, n = serving.pad_rows(mesh, Xnew)
+        mean, var = engine(self.params, jnp.asarray(Xp), key)
+        return mean[:, :n, :], var[:, :n, :]
+
     def number_parameters(self, trainable=True):
         mask = training.make_mask(self.params)
         leaves_p = jax.tree_util.tree_leaves(self.params)

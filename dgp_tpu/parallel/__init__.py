@@ -4,6 +4,13 @@ from .data_parallel import (
     make_data_sample_parallel_elbo,
     make_multislice_elbo,
 )
+from .serving import (
+    pad_rows,
+    predict_in_chunks,
+    sharded_predict_f,
+    sharded_predict_y,
+    sharded_rowwise,
+)
 from .mesh import (
     make_mesh,
     make_mesh_2d,
