@@ -348,16 +348,9 @@ class DGP:
             raise ValueError("predict_y_sharded needs a mesh (pass mesh= or "
                              "construct the model with one)")
         Xnew = jnp.asarray(Xnew, dtype=default_float())
-        engine = serving.sharded_predict_y(mesh, num_samples)
-        key = self._next_key()
-        if chunk_size is not None:
-            if chunk_size % mesh.devices.size:
-                raise ValueError("chunk_size must be a device multiple")
-            return serving.predict_in_chunks(
-                engine, self.params, Xnew, key, chunk_size)
-        Xp, n = serving.pad_rows(mesh, Xnew)
-        mean, var = engine(self.params, jnp.asarray(Xp), key)
-        return mean[:, :n, :], var[:, :n, :]
+        return serving.run_sharded(
+            serving.sharded_predict_y(mesh, num_samples), self.params, Xnew,
+            self._next_key(), mesh, chunk_size)
 
     def number_parameters(self, trainable=True):
         mask = training.make_mask(self.params)

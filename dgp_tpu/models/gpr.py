@@ -159,3 +159,18 @@ class GPR:
     def predict_y(self, Xnew):
         Xnew = jnp.asarray(Xnew, dtype=default_float())
         return predict_y(self.params, self.train_data, Xnew)
+
+    def predict_y_sharded(self, Xnew, mesh, chunk_size=None):
+        """Data-parallel exact-GP batch inference (serving path, beyond
+        reference): prediction rows shard over the mesh's data axis, the
+        training factorization replicates, results equal the single-device
+        ``predict_y`` to reduction-order rounding (deterministic — no MC)."""
+        import jax as _jax
+
+        from ..parallel import serving
+
+        Xnew = jnp.asarray(Xnew, dtype=default_float())
+        return serving.run_sharded(
+            serving.sharded_gpr_predict_y(mesh),
+            (self.params, self.train_data), Xnew, _jax.random.PRNGKey(0),
+            mesh, chunk_size, row_axis=0)

@@ -514,6 +514,20 @@ class MultiFidelityDeepGP_EM:
         return _predict_y_jit(self.params, Xnew, self._next_key(), num_samples,
                               full_cov)
 
+    def predict_y_sharded(self, Xnew, num_samples, mesh=None, chunk_size=None):
+        """Data-parallel highest-fidelity batch inference (serving path,
+        beyond reference — see DGP.predict_y_sharded)."""
+        from ..parallel import serving
+
+        mesh = mesh if mesh is not None else self.mesh
+        if mesh is None:
+            raise ValueError("predict_y_sharded needs a mesh (pass mesh= or "
+                             "construct the model with one)")
+        Xnew = jnp.asarray(Xnew, dtype=default_float())
+        return serving.run_sharded(
+            serving.sharded_predict_y_em(mesh, num_samples), self.params,
+            Xnew, self._next_key(), mesh, chunk_size)
+
     def predict_density(self, Xnew, Ynew, num_samples):
         """log E_S[p(y|f)] via logsumexp over samples (MF_DGP.py:243-247)."""
         import jax.scipy.special as _jsp

@@ -334,6 +334,22 @@ class MultiObjDeepGP:
         Fmean, Fvar = self.predict_f(Xnew, S=num_samples, full_cov=full_cov)
         return self.params.likelihood.predict_mean_and_var(Fmean, Fvar)
 
+    def predict_y_sharded(self, Xnew, num_samples, mesh=None, chunk_size=None):
+        """Data-parallel last-objective batch inference (serving path,
+        beyond reference — see DGP.predict_y_sharded). Per-objective
+        predictives shard the same way through
+        ``parallel.serving.sharded_rowwise`` on a ``predict_f`` partial."""
+        from ..parallel import serving
+
+        mesh = mesh if mesh is not None else self.mesh
+        if mesh is None:
+            raise ValueError("predict_y_sharded needs a mesh (pass mesh= or "
+                             "construct the model with one)")
+        Xnew = jnp.asarray(Xnew, dtype=default_float())
+        return serving.run_sharded(
+            serving.sharded_predict_y_mo(mesh, num_samples, self.loop),
+            self.params, Xnew, self._next_key(), mesh, chunk_size)
+
     def predict_density(self, Xnew, Ynew, num_samples):
         """log E_S[p(y|f)] via logsumexp over samples (MF_DGP.py:243-247)."""
         import jax.scipy.special as _jsp

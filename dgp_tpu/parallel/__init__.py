@@ -7,8 +7,13 @@ from .data_parallel import (
 from .serving import (
     pad_rows,
     predict_in_chunks,
+    run_sharded,
+    sharded_gpr_predict_y,
     sharded_predict_f,
     sharded_predict_y,
+    sharded_predict_y_em,
+    sharded_predict_y_mf,
+    sharded_predict_y_mo,
     sharded_rowwise,
 )
 from .mesh import (

@@ -107,6 +107,87 @@ def sharded_predict_y(mesh: Mesh, num_samples: int, axis_name: str = "data"):
     return jax.jit(sharded_rowwise(mesh, _fn, axis_name))
 
 
+@_functools.lru_cache(maxsize=None)
+def sharded_predict_y_mf(mesh: Mesh, num_samples: int,
+                         axis_name: str = "data"):
+    """jitted data-parallel MF-DGP ``predict_y`` (highest-fidelity
+    predictive through the likelihood, MF_DGP.py:252-300's eager path);
+    layout contract as :func:`sharded_predict_f`."""
+    from ..models import mf_dgp as _mf
+
+    def _fn(params, X, key):
+        return _mf.predict_y(params, X, key, num_samples)
+
+    return jax.jit(sharded_rowwise(mesh, _fn, axis_name))
+
+
+@_functools.lru_cache(maxsize=None)
+def sharded_predict_y_em(mesh: Mesh, num_samples: int,
+                         axis_name: str = "data"):
+    """jitted data-parallel MF-DGP-EM ``predict_y``."""
+    from ..models import mf_dgp_em as _em
+
+    def _fn(params, X, key):
+        return _em.predict_y(params, X, key, num_samples)
+
+    return jax.jit(sharded_rowwise(mesh, _fn, axis_name))
+
+
+@_functools.lru_cache(maxsize=None)
+def sharded_predict_y_mo(mesh: Mesh, num_samples: int, loop: int = 2,
+                         axis_name: str = "data"):
+    """jitted data-parallel MO-DGP predictive for the LAST objective (the
+    class method's ``predict_y`` semantics, MO_DGP.py recurrent stack)."""
+    from ..models import mo_dgp as _mo
+
+    def _fn(params, X, key):
+        Fmean, Fvar = _mo.predict_f(params, X, key, num_samples, None, loop)
+        return params.likelihood.predict_mean_and_var(Fmean, Fvar)
+
+    return jax.jit(sharded_rowwise(mesh, _fn, axis_name))
+
+
+@_functools.lru_cache(maxsize=None)
+def sharded_gpr_predict_y(mesh: Mesh, axis_name: str = "data"):
+    """jitted data-parallel exact-GPR ``predict_y``: ``fn((params, data),
+    Xnew, key) -> (mean, var)`` each ``[m, D]`` with rows sharded on axis 0.
+
+    The training set replicates to every device (the exact-GP predictive
+    needs the full Gram factor either way); the per-device work is the
+    column-block of back-substitutions for its local rows, so the sharded
+    result equals the single-device one to reduction-order rounding (no MC,
+    no collectives; the mean is bitwise, the variance's kss - sum(A^2)
+    cancellation reassociates under sharded shapes). The PRNG key is
+    accepted for wrapper uniformity and unused.
+    """
+    from ..models import gpr as _gpr
+
+    def _fn(params_and_data, X, key):
+        del key  # exact predictive — deterministic in X
+        params, data = params_and_data
+        return _gpr.predict_y(params, data, X)
+
+    return jax.jit(sharded_rowwise(mesh, _fn, axis_name, row_axis=0))
+
+
+def run_sharded(engine, params, X, key, mesh, chunk_size=None, row_axis: int = 1,
+                axis_name: str = "data"):
+    """Drive a :func:`sharded_rowwise` engine over an arbitrary row count:
+    pads rows to a device multiple, slices the outputs back, and (with
+    ``chunk_size``) host-loops over fixed-shape chunks via
+    :func:`predict_in_chunks`. Shared by every family's
+    ``predict_y_sharded`` wrapper."""
+    X = jnp.asarray(X)
+    if chunk_size is not None:
+        if chunk_size % mesh.shape[axis_name]:
+            raise ValueError("chunk_size must be a device multiple")
+        return predict_in_chunks(engine, params, X, key, chunk_size, row_axis)
+    Xp, n = pad_rows(mesh, X, axis_name)
+    out = engine(params, jnp.asarray(Xp), key)
+    sl = (slice(None),) * row_axis + (slice(0, n),)
+    return jax.tree_util.tree_map(lambda a: a[sl], out)
+
+
 def predict_in_chunks(predict, params, X, key, chunk_size: int,
                       row_axis: int = 1):
     """Host-side loop over fixed-size row chunks for prediction sets too

@@ -142,6 +142,86 @@ def test_sharded_rowwise_generalizes_to_mf():
     assert np.all(np.asarray(vs) > 0)
 
 
+def test_gpr_sharded_exact_and_chunked():
+    """Exact-GP serving: sharded == single-device EXACTLY (deterministic
+    predictive, per-column back-substitutions are unchanged by column
+    slicing)."""
+    from dgp_tpu.models.gpr import GPR
+
+    rng = np.random.default_rng(11)
+    X = rng.uniform(0, 1, size=(30, 2))
+    Y = np.sin(3 * X[:, :1]) + X[:, 1:] ** 2
+    m = GPR((X, Y), K.RBF.create(lengthscales=[1.0, 1.0]),
+            noise_variance=1e-4)
+    mesh = make_mesh(8)
+    Xt = rng.uniform(0, 1, size=(27, 2))  # non-divisible rows
+    ms, vs = m.predict_y_sharded(Xt, mesh)
+    m1, v1 = m.predict_y(Xt)
+    assert ms.shape == m1.shape == (27, 1)
+    np.testing.assert_allclose(np.asarray(ms), np.asarray(m1), rtol=1e-12)
+    # the kss - sum(A^2) cancellation reassociates under sharded reduction
+    # shapes: equal to reduction-order rounding, not bitwise
+    np.testing.assert_allclose(np.asarray(vs), np.asarray(v1), rtol=1e-8,
+                               atol=1e-12)
+    mc, vc = m.predict_y_sharded(Xt[:24], mesh, chunk_size=8)
+    np.testing.assert_allclose(np.asarray(mc), np.asarray(m1)[:24], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(vc), np.asarray(v1)[:24], rtol=1e-8,
+                               atol=1e-12)
+
+
+def test_mf_wrapper_sharded_predict():
+    from dgp_tpu.bo.doe import lhs
+    from dgp_tpu.models.mf_dgp import MultiFidelityDeepGP
+    from dgp_tpu.utils.test_functions import park_high, park_low
+
+    X = [lhs(4, 30, seed=123), lhs(4, 5, seed=124)]
+    Y = [park_low(X[0]), park_high(X[1])]
+    m = MultiFidelityDeepGP(X, Y)
+    mesh = make_mesh(8)
+    Xt = lhs(4, 19, seed=7)  # non-divisible rows
+    ms, vs = m.predict_y_sharded(Xt, num_samples=4, mesh=mesh)
+    assert ms.shape == (4, 19, 1)
+    assert np.all(np.isfinite(np.asarray(ms))) and np.all(np.asarray(vs) > 0)
+    mc, vc = m.predict_y_sharded(Xt[:16], num_samples=4, mesh=mesh,
+                                 chunk_size=8)
+    assert mc.shape == (4, 16, 1) and np.all(np.isfinite(np.asarray(mc)))
+
+
+def test_mo_wrapper_sharded_predict():
+    from dgp_tpu.bo.doe import lhs
+    from dgp_tpu.bo.problems import multi_obj_1D_4
+    from dgp_tpu.models.mo_dgp import MultiObjDeepGP
+
+    problem = multi_obj_1D_4()
+    X = lhs(problem.dim, 10, seed=5)
+    Y0 = np.zeros((10, 1))
+    Y1 = np.zeros((10, 1))
+    for i in range(10):
+        f = problem.fun(X[i])
+        Y0[i], Y1[i] = f[0], f[1]
+    m = MultiObjDeepGP([X, X.copy()], [Y0, Y1], num_samples=2)
+    mesh = make_mesh(8)
+    Xt = lhs(problem.dim, 11, seed=9)
+    ms, vs = m.predict_y_sharded(Xt, num_samples=3, mesh=mesh)
+    assert ms.shape == (3, 11, 1)
+    assert np.all(np.isfinite(np.asarray(ms))) and np.all(np.asarray(vs) > 0)
+
+
+def test_em_wrapper_sharded_predict():
+    from dgp_tpu.bo.doe import lhs
+    from dgp_tpu.models.mf_dgp_em import MultiFidelityDeepGP_EM
+    from dgp_tpu.utils.test_functions import park_vd_high, park_vd_low
+
+    X = [lhs(2, 24, seed=21), lhs(4, 6, seed=22)]
+    Y = [park_vd_low(X[0]), park_vd_high(X[1])]
+    m = MultiFidelityDeepGP_EM(X, Y, [X[1][:, :2]], num_samples=2)
+    mesh = make_mesh(8)
+    Xt = lhs(4, 13, seed=23)
+    ms, vs = m.predict_y_sharded(Xt, num_samples=2, mesh=mesh)
+    assert ms.shape == (2, 13, 1)
+    assert np.all(np.isfinite(np.asarray(ms))) and np.all(np.asarray(vs) > 0)
+
+
 def test_chunk_size_device_multiple_enforced():
     model, _ = build_1layer(N=16)
     mesh = make_mesh(8)
