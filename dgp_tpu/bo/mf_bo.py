@@ -255,18 +255,28 @@ class MF_BO:
 
     def _propose(self, IC="EI", popsize_DE=300, iterations_DE=400,
                  num_samples=500):
-        """One acquisition round: fit a fresh surrogate, maximize EI on the
-        top-fidelity posterior, pick the query fidelity (BOCA rule +
-        duplicate-escalation guard). Returns ``(x_new [1, d], fidelity)``
-        without evaluating or touching the archives."""
-        from .acquisition import EI
+        """One acquisition round: fit a fresh surrogate, maximize the infill
+        criterion (``IC`` in EI/WB2/WB2S, SO_BO's menu) on the top-fidelity
+        posterior, pick the query fidelity (BOCA rule + duplicate-escalation
+        guard). Returns ``(x_new [1, d], fidelity)`` without evaluating or
+        touching the archives."""
+        from .acquisition import EI, WB2, WB2S
 
         it = self._iteration
         Ys_n, mu, sd = self._normalized_Y()
         model = self._fit_model(Ys_n, seed=it)
 
         y_min_n = float((np.min(self.Y[-1]) - mu) / sd)
-        ic = EI(y_min_n, self.d)
+        if IC == "EI":
+            ic = EI(y_min_n, self.d)
+        elif IC == "WB2":
+            ic = WB2(y_min_n, self.d)
+        elif IC == "WB2S":
+            ic = WB2S(y_min_n, self.d)
+        else:
+            raise ValueError(f"unknown IC {IC!r}")
+        if isinstance(ic, WB2S):
+            ic.resolve_scale(model, (0.0, 1.0), key=self._next_run_key())
         x_new = ic.optimize(
             model, bounds=(0.0, 1.0), popsize_DE=popsize_DE,
             iterations_DE=iterations_DE, num_samples=num_samples,
@@ -279,8 +289,9 @@ class MF_BO:
         """Ask/tell interface, step 1 (beyond reference): return the next
         query as ``(x_new [1, d], fidelity)`` WITHOUT evaluating the source
         — for external/asynchronous evaluation. Feed the result back with
-        :meth:`observe`. Accepts :meth:`run`'s keyword arguments; shares
-        the infill counter and PRNG stream with ``run``."""
+        :meth:`observe`. Accepts :meth:`_propose`'s keyword arguments
+        (``IC``, ``popsize_DE``, ``iterations_DE``, ``num_samples``);
+        shares the infill counter and PRNG stream with ``run``."""
         return self._propose(**propose_kwargs)
 
     def observe(self, x_new, y_new, fidelity):

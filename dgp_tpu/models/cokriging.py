@@ -42,14 +42,13 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 from flax import struct
 
 from ..config import default_float, default_jitter
 from ..ops import kernels as kernels_lib
 from ..ops.likelihoods import Gaussian
 from ..ops.linalg import log_det_from_chol, tri_solve
-from .training import bucket_rows
+from .training import bucket_rows, multistart_adam_engine
 
 
 class AR1Params(struct.PyTreeNode):
@@ -160,44 +159,6 @@ def _pad_level(X, Y, bucket):
     return Xp, Yp, w
 
 
-@functools.lru_cache(maxsize=None)
-def _multistart_adam_engine(iterations, lr):
-    """Cached jitted multi-start Adam on the joint NLL: vmapped over a
-    leading starts axis of the params pytree, then argmin of the final
-    same-data NLL (non-finite candidates lose to any finite one). Data is a
-    traced (Xs, Ys, ws) pytree — re-training after new points of the same
-    bucketed shape reuses the compiled program."""
-    opt = optax.adam(lr)
-
-    def _train_one(params, batch):
-        Xs, Ys, ws = batch
-        opt_state = opt.init(params)
-
-        def step(carry, _):
-            params, opt_state = carry
-            loss, grads = jax.value_and_grad(neg_log_marginal_likelihood)(
-                params, Xs, Ys, ws)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
-
-        (params, _), losses = jax.lax.scan(
-            step, (params, opt_state), None, length=iterations)
-        final = neg_log_marginal_likelihood(params, Xs, Ys, ws)
-        return params, final, losses
-
-    @jax.jit
-    def run(stacked_params, batch):
-        params_b, finals, losses_b = jax.vmap(
-            _train_one, in_axes=(0, None))(stacked_params, batch)
-        finals = jnp.where(jnp.isfinite(finals), finals, jnp.inf)
-        i = jnp.argmin(finals)
-        best = jax.tree.map(lambda x: x[i], params_b)
-        return best, finals[i], losses_b[i]
-
-    return run
-
-
 class AR1CoKriging:
     """Stateful wrapper with the surrogate surface MF_BO and the acquisition
     engines rely on: ``name``, ``params``, ``train_data``,
@@ -288,7 +249,8 @@ class AR1CoKriging:
                  lr: float = 0.05, seed: int = 0):
         """Multi-start Adam on the joint NLL; keeps the best finite
         candidate. Returns the winning start's loss trace."""
-        run = _multistart_adam_engine(int(iterations), float(lr))
+        run = multistart_adam_engine(neg_log_marginal_likelihood,
+                                     int(iterations), float(lr))
         stacked = self._starts(int(n_starts), jax.random.PRNGKey(seed))
         self.params, best_nll, losses = run(stacked, self.train_data)
         self._nll = float(best_nll)

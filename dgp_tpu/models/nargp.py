@@ -39,14 +39,13 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from ..config import default_float
 from ..ops import kernels as kernels_lib
 from ..ops.likelihoods import Gaussian
 from . import gpr as gpr_mod
 from .gpr import GPRParams
-from .training import pad_to_bucket
+from .training import multistart_adam_engine, pad_to_bucket
 
 _KERNELS = {"rbf": kernels_lib.RBF, "matern32": kernels_lib.Matern32,
             "matern52": kernels_lib.Matern52}
@@ -127,43 +126,6 @@ def _mean_chain(levels, datas, Xnew, upto):
 # -- training -------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=None)
-def _multistart_adam_engine(iterations, lr):
-    """Cached jitted multi-start Adam on one level's exact-GPR NLL (vmapped
-    starts, argmin of the final same-data NLL; non-finite candidates lose).
-    The batch (X_aug, Y, w) is traced, so retraining after new points of
-    the same bucketed shape reuses the compiled program."""
-    opt = optax.adam(lr)
-
-    def _train_one(params, batch):
-        X, Y, w = batch
-        opt_state = opt.init(params)
-
-        def step(carry, _):
-            params, opt_state = carry
-            loss, grads = jax.value_and_grad(
-                gpr_mod.neg_log_marginal_likelihood)(params, X, Y, w)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
-
-        (params, _), losses = jax.lax.scan(
-            step, (params, opt_state), None, length=iterations)
-        final = gpr_mod.neg_log_marginal_likelihood(params, X, Y, w)
-        return params, final, losses
-
-    @jax.jit
-    def run(stacked_params, batch):
-        params_b, finals, losses_b = jax.vmap(
-            _train_one, in_axes=(0, None))(stacked_params, batch)
-        finals = jnp.where(jnp.isfinite(finals), finals, jnp.inf)
-        i = jnp.argmin(finals)
-        best = jax.tree.map(lambda x: x[i], params_b)
-        return best, finals[i], losses_b[i]
-
-    return run
-
-
 class NARGP:
     """Stateful wrapper with the surrogate surface MF_BO and the
     acquisition engines rely on: ``name``, ``params``/``train_data``
@@ -201,6 +163,16 @@ class NARGP:
             for t in range(self.n_fid))
         self._predict_key = jax.random.PRNGKey(seed)
 
+    @property
+    def params(self):
+        return self._params
+
+    @params.setter
+    def params(self, value):
+        # the augmented train_data is a function of params — invalidate
+        self._params = value
+        self._train_data = None
+
     def _padded(self, X, Y):
         if self.n_bucket:
             return pad_to_bucket(X, Y, self.n_bucket)
@@ -211,14 +183,18 @@ class NARGP:
         """Per-level (X_aug, Y, w) triples under the CURRENT params: level
         t>=1's augmented column is the mean-chain of levels < t at its
         inputs. Padding rows reuse row 0's augmented value (weight-0 rows
-        are exactly decoupled either way)."""
-        Xs, Ys = self.data
-        datas = [self._padded(Xs[0], Ys[0])]
-        for t in range(1, self.n_fid):
-            m = _mean_chain(self.params[:t], tuple(datas), Xs[t], t - 1)
-            Xaug = jnp.concatenate([Xs[t], m], axis=1)
-            datas.append(self._padded(Xaug, Ys[t]))
-        return tuple(datas)
+        are exactly decoupled either way). Cached per params assignment —
+        the mean chain is L-1 eager exact-GP predicts, and every
+        predict_f/acquisition call reads this under frozen params."""
+        if self._train_data is None:
+            Xs, Ys = self.data
+            datas = [self._padded(Xs[0], Ys[0])]
+            for t in range(1, self.n_fid):
+                m = _mean_chain(self.params[:t], tuple(datas), Xs[t], t - 1)
+                Xaug = jnp.concatenate([Xs[t], m], axis=1)
+                datas.append(self._padded(Xaug, Ys[t]))
+            self._train_data = tuple(datas)
+        return self._train_data
 
     def training_loss(self):
         """Sum of the per-level exact NLLs (they factorize)."""
@@ -246,12 +222,14 @@ class NARGP:
         """Sequential level-by-level multi-start Adam (level t's augmented
         inputs use the freshly trained levels below it). Returns the
         winning per-level loss traces."""
-        run = _multistart_adam_engine(int(iterations), float(lr))
+        run = multistart_adam_engine(gpr_mod.neg_log_marginal_likelihood,
+                                     int(iterations), float(lr))
         Xs, Ys = self.data
         key = jax.random.PRNGKey(seed)
         params = list(self.params)
         datas = [self._padded(Xs[0], Ys[0])]
         traces = []
+        nlls = []
         for t in range(self.n_fid):
             if t > 0:
                 m = _mean_chain(tuple(params[:t]), tuple(datas), Xs[t], t - 1)
@@ -261,8 +239,13 @@ class NARGP:
                                    jax.random.fold_in(key, t))
             params[t], nll, losses = run(stacked, datas[t])
             traces.append(losses)
+            nlls.append(float(nll))
         self.params = tuple(params)
-        self._nll = float(nll)
+        # the loop conditioned each level on its freshly trained lowers, so
+        # these datas ARE the post-training train_data — seed the cache
+        self._train_data = tuple(datas)
+        # joint NLL (levels factorize) — comparable with AR1CoKriging._nll
+        self._nll = float(sum(nlls))
         return traces
 
     def predict_f(self, Xnew, S: Optional[int] = None,

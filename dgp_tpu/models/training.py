@@ -11,6 +11,7 @@ whole training phase is a single XLA computation with no host round-trips
 
 from __future__ import annotations
 
+import functools as _functools
 from typing import Callable, Sequence
 
 import jax
@@ -210,6 +211,45 @@ def pad_to_bucket(X, Y, bucket: int):
     Xp = jnp.concatenate([X, jnp.tile(X[:1], (pad, 1))], axis=0)
     Yp = jnp.concatenate([Y, jnp.zeros((pad, Y.shape[1]), Y.dtype)], axis=0)
     return Xp, Yp, w
+
+
+@_functools.lru_cache(maxsize=None)
+def multistart_adam_engine(loss_fn: Callable, iterations: int, lr: float):
+    """Cached jitted multi-start Adam on an exact NLL ``loss_fn(params,
+    *batch)``: vmapped over a leading starts axis of the params pytree, then
+    argmin of the final same-data NLL (non-finite candidates lose to any
+    finite one). The batch is a traced pytree, so retraining after new
+    points of the same bucketed shape reuses the compiled program. Shared by
+    the exact MF surrogates (models/cokriging.py, models/nargp.py) — keyed
+    on the stable module-level ``loss_fn`` object, per the engine-cache
+    idiom."""
+    opt = optax.adam(lr)
+
+    def _train_one(params, batch):
+        opt_state = opt.init(params)
+
+        def step(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, *batch)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, _), losses = jax.lax.scan(
+            step, (params, opt_state), None, length=iterations)
+        final = loss_fn(params, *batch)
+        return params, final, losses
+
+    @jax.jit
+    def run(stacked_params, batch):
+        params_b, finals, losses_b = jax.vmap(
+            _train_one, in_axes=(0, None))(stacked_params, batch)
+        finals = jnp.where(jnp.isfinite(finals), finals, jnp.inf)
+        i = jnp.argmin(finals)
+        best = jax.tree.map(lambda x: x[i], params_b)
+        return best, finals[i], losses_b[i]
+
+    return run
 
 
 def _make_adam_engine(opt, loss_fn, steps, messages, label, metrics_fn, with_data):

@@ -30,10 +30,14 @@ import numpy as np
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
-try:  # JAX >= 0.6 exposes shard_map at top level
+try:  # JAX >= 0.6 exposes shard_map at top level, with check_vma
     from jax import shard_map as _shard_map
-except ImportError:  # pragma: no cover
+
+    _SHMAP_CHECK_KW = {"check_vma": False}
+except ImportError:  # pragma: no cover — older JAX spells the kwarg check_rep
     from jax.experimental.shard_map import shard_map as _shard_map
+
+    _SHMAP_CHECK_KW = {"check_rep": False}
 
 from ..models import dgp as _dgp
 from .data_parallel import _require_1d
@@ -69,7 +73,7 @@ def sharded_rowwise(mesh: Mesh, fn, axis_name: str = "data", row_axis: int = 1):
         mesh=mesh,
         in_specs=(P(), P(axis_name), P()),
         out_specs=out_spec,
-        check_vma=False,
+        **_SHMAP_CHECK_KW,
     )
 
 
@@ -182,8 +186,12 @@ def run_sharded(engine, params, X, key, mesh, chunk_size=None, row_axis: int = 1
         if chunk_size % mesh.shape[axis_name]:
             raise ValueError("chunk_size must be a device multiple")
         return predict_in_chunks(engine, params, X, key, chunk_size, row_axis)
-    Xp, n = pad_rows(mesh, X, axis_name)
-    out = engine(params, jnp.asarray(Xp), key)
+    # pad on device (jnp.pad) — np-side padding would device_get the whole
+    # serving batch and re-upload it, two redundant transfers on the hot path
+    n = X.shape[0]
+    rem = (-n) % mesh.shape[axis_name]
+    Xp = jnp.pad(X, [(0, rem)] + [(0, 0)] * (X.ndim - 1)) if rem else X
+    out = engine(params, Xp, key)
     sl = (slice(None),) * row_axis + (slice(0, n),)
     return jax.tree_util.tree_map(lambda a: a[sl], out)
 

@@ -206,3 +206,16 @@ def test_mf_bo_observe_validates_fidelity():
     bo.observe(np.asarray([[0.5]]), np.asarray([[-100.0]]), 0)
     assert bo.best_trace[-1] == best0
     assert bo.cost_spent == pytest.approx(bo.costs[0])
+
+
+def test_mf_bo_ic_dispatch():
+    """suggest(IC=...) honors the criterion: WB2 runs (distinct engine from
+    EI), unknown names raise instead of silently optimizing EI."""
+    spec = {"type": "ar1", "n_starts": 2, "iterations": 60}
+    bo = MF_BO(fidelities=[forrester_low, forrester_high], DoE_sizes=(6, 3),
+               d=1, model_dic=spec, seed=3)
+    x, f = bo.suggest(IC="WB2", popsize_DE=12, iterations_DE=10,
+                      num_samples=8)
+    assert x.shape == (1, 1) and 0.0 <= x.item() <= 1.0 and f in (0, 1)
+    with pytest.raises(ValueError, match="unknown IC"):
+        bo.suggest(IC="LCB", popsize_DE=12, iterations_DE=10, num_samples=8)

@@ -151,3 +151,23 @@ def test_mf_bo_nargp_type_runs_and_roundtrips(tmp_path):
     bo2.run(1, popsize_DE=12, iterations_DE=10, num_samples=8,
             verbose=False)
     assert len(bo2.fidelity_choices) == 2
+
+
+def test_nll_is_joint_and_train_data_cached():
+    """optimize() stores the JOINT (summed per-level) NLL — comparable with
+    AR1CoKriging._nll for cross-surrogate model selection — and seeds the
+    train_data cache; reassigning params invalidates the cache."""
+    Xl, Xh, f_low, f_high = _quadratic_pair(nl=16, nh=6, seed=7)
+    m = NARGP(([Xl, Xh], [f_low(Xl), f_high(Xh)]), n_bucket=8,
+              num_samples=4)
+    m.optimize(n_starts=2, iterations=80, lr=0.05, seed=0)
+    assert m._nll == pytest.approx(float(m.training_loss()), rel=1e-4)
+    # cached: repeated access returns the same tuple object (no recompute)
+    td = m.train_data
+    assert m.train_data is td
+    # params assignment invalidates; recompute matches leaf-for-leaf
+    m.params = m.params
+    td2 = m.train_data
+    assert td2 is not td
+    for (a, _, _), (b, _, _) in zip(td, td2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
