@@ -269,6 +269,53 @@ def _boxed(loss_fn):
     return fct
 
 
+def optimize_box(loss_fn, loss_args, bounds, d, popsize_DE=300, popstd_DE=1.5,
+                 iterations_DE=400, init_adam=None, iterations_adam=1000,
+                 lr_adam=0.01, method="DE", key=None):
+    """Generic DE + Adam-on-sigmoid optimizer over a box domain — the one
+    scaffold every acquisition (EI/WB2/WB2S/EV/PoF here, EHVI in bo/ehvi.py)
+    drives its search through.
+
+    ``loss_fn(x [P, d] in the box, loss_args) -> [P] or [P, 1]`` must be a
+    stable (factory-cached) function object so the jitted DE/Adam engines
+    (bo/de.py) are reused across BO infills; everything iteration-dependent
+    travels in the traced ``loss_args`` pytree. Returns ``(x_opt [1, d],
+    objective)``."""
+    dtype = default_float()
+    lw = jnp.broadcast_to(jnp.asarray(bounds[0], dtype=dtype), (d,))
+    up = jnp.broadcast_to(jnp.asarray(bounds[1], dtype=dtype), (d,))
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    fct = _boxed(loss_fn)
+    fct_args = (lw, up, loss_args)
+
+    x_opt = None
+    objective = None
+    if method in ("DE", "DE+Adam"):
+        res = de.minimize(
+            fct, jnp.zeros((d,), dtype=dtype), key,
+            population_size=popsize_DE, population_stddev=popstd_DE,
+            max_iterations=iterations_DE, fn_args=fct_args,
+        )
+        x_opt = sigmoid_box_map(lw, up, res.position)
+        objective = float(res.objective)
+    if method in ("Adam", "DE+Adam"):
+        if init_adam is not None:
+            v0 = inverse_box_map(lw, up, jnp.asarray(init_adam, dtype=dtype))
+        elif x_opt is not None:
+            v0 = inverse_box_map(lw, up, x_opt)
+        else:
+            v0 = jnp.zeros((d,), dtype=dtype)
+        v, obj = de.adam_refine(fct, v0, iterations=iterations_adam,
+                                lr=lr_adam, fn_args=fct_args)
+        x_opt = sigmoid_box_map(lw, up, v)
+        objective = float(obj)
+    if x_opt is None:
+        raise ValueError(
+            f"unknown method {method!r}: use 'DE', 'Adam' or 'DE+Adam'")
+    return np.asarray(x_opt)[None, :], objective
+
+
 class InfillCriteria:
     name = "Infill criteria"
 
@@ -280,30 +327,25 @@ class InfillCriteria:
     # -- model forwards (pure in model params) --------------------------------
     @staticmethod
     def _predict_y_moments(model, x, key, num_samples):
-        """Moment-matched predictive-y moments, [n,1] each."""
-        if model.name == "gpr":
-            return gpr_mod.predict_y(model.params, model.train_data, x)
-        m_s, v_s = dgp_mod.predict_y(model.params, x, key, num_samples)
-        return _moment_matched(m_s, v_s)
+        """Moment-matched predictive-y moments, [n,1] each. Dispatches via
+        :func:`_model_state`, so every surrogate kind the pure factories
+        handle (gpr/dgp/ar1/nargp/mf_dgp) works here too — WB2S.resolve_scale
+        reaches this with MF_BO's surrogates."""
+        kind, state = _model_state(model)
+        return _y_moments_pure(kind, state, x, key, num_samples)
 
     @staticmethod
     def _predict_f_moments(model, x, key, num_samples):
         """Moment-matched latent-f moments (EI's analytic dgp branch,
         Infill_criteria.py:39-41)."""
-        if model.name == "gpr":
-            return gpr_mod.predict_y(model.params, model.train_data, x)
-        m_s, v_s = dgp_mod.predict_f(model.params, x, key, num_samples)
-        return _moment_matched(m_s, v_s)
+        kind, state = _model_state(model)
+        return _f_moments_pure(kind, state, x, key, num_samples)
 
     @staticmethod
     def _samples(model, x, key, num_samples):
         """Last-layer MC samples [S, n, 1]."""
-        if model.name == "gpr":
-            mean, var = gpr_mod.predict_y(model.params, model.train_data, x)
-            z = jax.random.normal(key, (num_samples,) + mean.shape, mean.dtype)
-            return mean[None] + jnp.sqrt(var)[None] * z
-        Fs, _, _ = dgp_mod.propagate(model.params, x, key, num_samples)
-        return Fs[-1]
+        kind, state = _model_state(model)
+        return _samples_pure(kind, state, x, key, num_samples)
 
     # -- generic DE + Adam optimizer over the sigmoid box map -----------------
     def _optimize_box(
@@ -311,40 +353,13 @@ class InfillCriteria:
         iterations_DE=400, init_adam=None, iterations_adam=1000, method="DE",
         key=None,
     ):
-        """loss_fn(x [P, d] in the box, loss_args) -> [P, 1]; ``loss_fn``
-        must be a stable (factory-cached) object so the jitted DE/Adam
-        programs are reused across BO infills; returns x_opt [1, d]."""
-        dtype = default_float()
-        lw = jnp.broadcast_to(jnp.asarray(bounds[0], dtype=dtype), (self.d,))
-        up = jnp.broadcast_to(jnp.asarray(bounds[1], dtype=dtype), (self.d,))
-        key = key if key is not None else jax.random.PRNGKey(0)
-
-        fct = _boxed(loss_fn)
-        fct_args = (lw, up, loss_args)
-
-        x_opt = None
-        if method in ("DE", "DE+Adam"):
-            res = de.minimize(
-                fct, jnp.zeros((self.d,), dtype=dtype), key,
-                population_size=popsize_DE, population_stddev=popstd_DE,
-                max_iterations=iterations_DE, fn_args=fct_args,
-            )
-            x_opt = sigmoid_box_map(lw, up, res.position)
-            self.IC_optimized = float(res.objective)
-        if method in ("Adam", "DE+Adam"):
-            if init_adam is not None:
-                v0 = inverse_box_map(lw, up, jnp.asarray(init_adam, dtype=dtype))
-            elif x_opt is not None:
-                v0 = inverse_box_map(lw, up, x_opt)
-            else:
-                v0 = jnp.zeros((self.d,), dtype=dtype)
-            v, obj = de.adam_refine(fct, v0, iterations=iterations_adam,
-                                    fn_args=fct_args)
-            x_opt = sigmoid_box_map(lw, up, v)
-            self.IC_optimized = float(obj)
-        if x_opt is None:
-            raise ValueError(f"unknown method {method!r}: use 'DE', 'Adam' or 'DE+Adam'")
-        self.x_opt = np.asarray(x_opt)[None, :]  # [1, d]
+        """:func:`optimize_box` with this criterion's d, recording the
+        optimum into ``x_opt`` / ``IC_optimized``; returns x_opt [1, d]."""
+        self.x_opt, self.IC_optimized = optimize_box(
+            loss_fn, loss_args, bounds, self.d, popsize_DE=popsize_DE,
+            popstd_DE=popstd_DE, iterations_DE=iterations_DE,
+            init_adam=init_adam, iterations_adam=iterations_adam,
+            method=method, key=key)
         return self.x_opt
 
 
@@ -410,7 +425,10 @@ class WB2(InfillCriteria):
 
     def optimize(self, model, bounds, popsize_DE=300, popstd_DE=1.5,
                  iterations_DE=400, init_adam=None, iterations_adam=1000,
-                 method="DE", num_samples=500, key=None):
+                 method="DE", num_samples=500, key=None, analytic=True):
+        """``analytic`` is accepted for interface uniformity with EI (SO_BO
+        passes it to whichever IC the user picked) and ignored: WB2's EI
+        term is defined on the analytic predictive-y moments."""
         key = key if key is not None else jax.random.PRNGKey(0)
         key, sub = jax.random.split(key)
         loss_fn, args = self._default_loss_spec(model, sub,
@@ -480,7 +498,8 @@ class WB2S(InfillCriteria):
 
     def optimize(self, model, bounds, popsize_DE=300, popstd_DE=1.5,
                  iterations_DE=400, init_adam=None, iterations_adam=1000,
-                 method="DE", num_samples=500, key=None):
+                 method="DE", num_samples=500, key=None, analytic=True):
+        """``analytic`` accepted-and-ignored, as in :meth:`WB2.optimize`."""
         key = key if key is not None else jax.random.PRNGKey(0)
         key, k_scale = jax.random.split(key)
         self.resolve_scale(model, bounds, key=k_scale)

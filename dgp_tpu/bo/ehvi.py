@@ -26,8 +26,6 @@ from jax.scipy.stats import norm
 
 from ..config import default_float
 from ..models import dgp as dgp_mod
-from . import de
-from .acquisition import sigmoid_box_map
 
 
 # -- Pareto utilities (numpy, small-n host code) --------------------------------
@@ -354,15 +352,15 @@ def _pof_pure(con_states, zero_n, Xcand):
 
 @functools.lru_cache(maxsize=None)
 def _neg_ehvi_pof_loss(kind, loop, corr, approximation, S, n_con):
-    """-(EHVI * prod PoF) over the sigmoid box map — the standard
-    constrained-EHVI acquisition (the multi-objective analogue of
-    acquisition.PoF.run_with_IC's EI*PoF). EHVI >= 0 by construction, so
-    the product needs no clamping; cached per static signature like
-    :func:`_neg_ehvi_loss` so the DE/Adam engines stay compile-stable."""
+    """-(EHVI * prod PoF) — the standard constrained-EHVI acquisition (the
+    multi-objective analogue of acquisition.PoF.run_with_IC's EI*PoF). EHVI
+    >= 0 by construction, so the product needs no clamping; cached per
+    static signature like :func:`_neg_ehvi_loss` so the DE/Adam engines
+    stay compile-stable. Box-domain: acquisition.optimize_box lifts it onto
+    the sigmoid map."""
 
-    def loss(V, args):
-        lw, up, state, Y0, Y1, cstates, zero_n, key = args
-        x = sigmoid_box_map(lw, up, V)
+    def loss(x, args):
+        state, Y0, Y1, cstates, zero_n, key = args
         ehvi = _ehvi_pure(kind, loop, corr, approximation, S,
                           state, x, Y0, Y1, key).reshape(-1)
         return -(ehvi * _pof_pure(cstates, zero_n, x))
@@ -376,9 +374,8 @@ def _neg_pof_loss(n_con):
     feasible point yet (EHVI is undefined without a front; maximizing the
     probability of feasibility is the standard bootstrap)."""
 
-    def loss(V, args):
-        lw, up, cstates, zero_n = args
-        x = sigmoid_box_map(lw, up, V)
+    def loss(x, args):
+        cstates, zero_n = args
         return -_pof_pure(cstates, zero_n, x)
 
     return loss
@@ -386,13 +383,13 @@ def _neg_pof_loss(n_con):
 
 @functools.lru_cache(maxsize=None)
 def _neg_ehvi_loss(kind, loop, corr, approximation, S):
-    """Stable -EHVI objective over the sigmoid box map for the cached DE/Adam
-    engines; args = (lw, up, model-state, Y0, Y1, key). The front length only
-    forces a (cached) retrace when it crosses a new size."""
+    """Stable -EHVI objective for the cached DE/Adam engines; args =
+    (model-state, Y0, Y1, key). The front length only forces a (cached)
+    retrace when it crosses a new size. Box-domain: acquisition.optimize_box
+    lifts it onto the sigmoid map."""
 
-    def loss(V, args):
-        lw, up, state, Y0, Y1, key = args
-        x = sigmoid_box_map(lw, up, V)
+    def loss(x, args):
+        state, Y0, Y1, key = args
         return -_ehvi_pure(kind, loop, corr, approximation, S,
                            state, x, Y0, Y1, key).reshape(-1)
 
@@ -417,12 +414,12 @@ def optimize_EHVI(model, YND, popsize_DE=300, popstd_DE=1.5, iterations_DE=400,
         the bootstrap acquisition while the archive has no feasible point.
     :return: x_opt [1, d]
     """
+    from .acquisition import optimize_box
+
     key = key if key is not None else jax.random.PRNGKey(0)
     dtype = default_float()
     d = np.asarray(model._X[0]).shape[1] if not isinstance(model, (list, tuple)) \
         else np.asarray(model[0].data[0]).shape[1]
-    lw = jnp.full((d,), bounds[0], dtype=dtype)
-    up = jnp.full((d,), bounds[1], dtype=dtype)
     key, k_mc, k_de = jax.random.split(key, 3)
 
     if model_C is not None:
@@ -436,14 +433,14 @@ def optimize_EHVI(model, YND, popsize_DE=300, popstd_DE=1.5, iterations_DE=400,
         zn = jnp.asarray(np.asarray(zero_c).reshape(-1), dtype=dtype)
         if YND is None:
             fct = _neg_pof_loss(len(cstates))
-            fct_args = (lw, up, cstates, zn)
+            fct_args = (cstates, zn)
         else:
             kind, loop, state = _mo_model_state(model)
             fct = _neg_ehvi_pof_loss(kind, loop, corr, approximation, S,
                                      len(cstates))
             Y0 = jnp.asarray(np.asarray(YND[0]).reshape(-1), dtype=dtype)
             Y1 = jnp.asarray(np.asarray(YND[1]).reshape(-1), dtype=dtype)
-            fct_args = (lw, up, state, Y0, Y1, cstates, zn, k_mc)
+            fct_args = (state, Y0, Y1, cstates, zn, k_mc)
     else:
         if YND is None:
             raise ValueError("YND=None requires constraint surrogates")
@@ -451,27 +448,11 @@ def optimize_EHVI(model, YND, popsize_DE=300, popstd_DE=1.5, iterations_DE=400,
         fct = _neg_ehvi_loss(kind, loop, corr, approximation, S)
         Y0 = jnp.asarray(np.asarray(YND[0]).reshape(-1), dtype=dtype)
         Y1 = jnp.asarray(np.asarray(YND[1]).reshape(-1), dtype=dtype)
-        fct_args = (lw, up, state, Y0, Y1, k_mc)
+        fct_args = (state, Y0, Y1, k_mc)
 
-    x_opt = None
-    if method in ("DE", "DE+Adam"):
-        res = de.minimize(fct, jnp.zeros((d,), dtype=dtype), k_de,
-                          population_size=popsize_DE,
-                          population_stddev=popstd_DE,
-                          max_iterations=iterations_DE, fn_args=fct_args)
-        x_opt = sigmoid_box_map(lw, up, res.position)
-    if method in ("Adam", "DE+Adam"):
-        from .acquisition import inverse_box_map
-
-        if init_adam is not None:
-            v0 = inverse_box_map(lw, up, jnp.asarray(init_adam, dtype=dtype))
-        elif x_opt is not None:
-            v0 = inverse_box_map(lw, up, x_opt)
-        else:
-            v0 = jnp.zeros((d,), dtype=dtype)
-        v, _ = de.adam_refine(fct, v0, iterations=iterations_adam, lr=lr_adam,
-                              fn_args=fct_args)
-        x_opt = sigmoid_box_map(lw, up, v)
-    if x_opt is None:
-        raise ValueError(f"unknown method {method!r}")
-    return np.asarray(x_opt)[None, :]
+    x_opt, _ = optimize_box(
+        fct, fct_args, bounds, d, popsize_DE=popsize_DE, popstd_DE=popstd_DE,
+        iterations_DE=iterations_DE, init_adam=init_adam,
+        iterations_adam=iterations_adam, lr_adam=lr_adam, method=method,
+        key=k_de)
+    return x_opt

@@ -10,7 +10,11 @@ Reference bugs fixed (unexercised by its notebooks — SURVEY.md §7.3):
 * multi-constraint retraining reshaped all constraints into one column
   (SO_BO.py:291);
 * unconstrained problems with normalize_input=False crashed on undefined
-  bounds (here they default to the unit box).
+  bounds (here they default to the unit box);
+* with normalize_input=False the reference still normalizes the EI incumbent
+  (SO_BO.py:294-298) while the surrogate trains on raw Y — an O(1) y_min
+  against raw-unit predictions flattens the acquisition; here the incumbent
+  follows the surrogate's output space.
 """
 
 from __future__ import annotations
@@ -333,8 +337,14 @@ class SO_BO:
             if iters is None:
                 iters = 0 if model.name == "gpr" else 200
             if iters:
-                # same warm recipe as the loop's own half-train
-                self.train_model(model, iters)
+                if model.name == "gpr":
+                    model.optimize_adam(iterations=iters, lr=0.001)
+                else:
+                    # short Adam-only refit (MO_BO._condition_on_lie's
+                    # recipe) — train_model would prepend its fixed
+                    # 500-step phase to every in-batch lie
+                    model.optimize_nat_adam(iterations1=iters, iterations2=0,
+                                            messages=0)
 
     # -- BO loop --------------------------------------------------------------------
     def run(self, iterations, from_scratch=None, IC="EI",
@@ -387,7 +397,8 @@ class SO_BO:
         if verbose:
             print(f"adding the most promising data point in iteration {j}")
         bounds = (self.lw_n, self.up_n)
-        rebuild = from_scratch is not None and j != 0 and j % from_scratch == 0
+        # from_scratch None or 0 = never rebuild (0 would divide by zero)
+        rebuild = bool(from_scratch) and j != 0 and j % from_scratch == 0
         if rebuild:
             self.model_Y = self.make_model(
                 self.model_Y_dic, self.X_train, self.Y_train
@@ -400,13 +411,23 @@ class SO_BO:
                     )
                     for i in range(self.C.shape[1])
                 ]
+        if not rebuild:
+            # re-point the surrogates at the real archive before training —
+            # this also strips believer/liar fantasy rows left behind by an
+            # abandoned suggest() batch (fantasy rows must never be trained
+            # on as real observations)
+            self._rebind_data()
         if j == 0 or rebuild:
             self.train_models(train_iterations, train_iterations)
         else:
-            self._rebind_data()
             self.train_models(train_iterations // 2, train_iterations // 2)
 
-        y_min_n = (self.Ymin[-1] - self.Y.mean(axis=0)) / _safe_std(self.Y)
+        # the incumbent must live in the surrogate's OUTPUT space: normalized
+        # when the surrogate trains on Y_n, raw when normalize_input=False
+        if self.normalize_input:
+            y_min_n = (self.Ymin[-1] - self.Y.mean(axis=0)) / _safe_std(self.Y)
+        else:
+            y_min_n = np.asarray(self.Ymin[-1])
         if IC == "EI":
             self.IC = EI(y_min_n, self.d)
         elif IC == "WB2":

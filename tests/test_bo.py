@@ -571,3 +571,65 @@ def test_so_bo_observe_constrained_requires_c():
     bo.observe(x, np.asarray([[0.01]]), np.asarray([[-1.0]]))
     assert bo.X.shape == (7, 1) and bo.C.shape == (7, 1)
     assert bo.Ymin[-1] <= 0.01 + 1e-12
+
+
+class _Offset100:
+    """Unconstrained 1-D quadratic with values ~100 — exposes output-space
+    mismatches between the surrogate and the incumbent."""
+
+    constraint = False
+    dim = 1
+
+    def fun(self, x):
+        return [100.0 * (x - 0.3) ** 2 + 100.0]
+
+
+def test_so_bo_wb2_family_unconstrained():
+    """IC='WB2'/'WB2S' must work on unconstrained problems: SO_BO passes
+    analytic= to whichever IC the user picked, and WB2/WB2S accept (and
+    ignore) it instead of raising TypeError."""
+    spec = {"num_layers": 0, "kernels": "rbf"}
+    bo = SO_BO(problem=_Offset100(), DoE_size=6, model_Y_dic=spec, seed=0)
+    bo.run(1, IC="WB2", train_iterations=80, popsize_DE=15, iterations_DE=15,
+           IC_method="DE", verbose=False)
+    bo.run(1, IC="WB2S", train_iterations=80, popsize_DE=15, iterations_DE=15,
+           IC_method="DE", verbose=False)
+    assert bo.X.shape == (8, 1)
+
+
+def test_so_bo_raw_units_incumbent_when_unnormalized():
+    """With normalize_input=False the surrogate trains on raw Y, so the
+    incumbent fed to EI must be the raw observed minimum (a normalized
+    incumbent against raw-unit predictions flattens the EI surface)."""
+    spec = {"num_layers": 0, "kernels": "rbf"}
+    bo = SO_BO(problem=_Offset100(), DoE_size=6, model_Y_dic=spec, seed=0,
+               normalize_input=False)
+    bo.suggest(train_iterations=80, popsize_DE=15, iterations_DE=15,
+               IC_method="DE")
+    assert float(bo.IC.y_min) == pytest.approx(float(np.min(bo.Y)))
+
+
+def test_so_bo_abandoned_suggest_batch_is_stripped():
+    """A suggest() batch that is never observe()d leaves believer rows in
+    the surrogate data; the next proposal must rebind to the real archive
+    before training (fantasy rows are not observations)."""
+    spec = {"num_layers": 0, "kernels": "rbf"}
+    bo = SO_BO(problem=_Offset100(), DoE_size=6, model_Y_dic=spec, seed=0)
+    bo.suggest(batch_size=3, train_iterations=80, popsize_DE=15,
+               iterations_DE=15, IC_method="DE")
+    assert np.asarray(bo.model_Y.data[0]).shape[0] == 8  # 6 + 2 lies
+    bo.suggest(batch_size=1, train_iterations=80, popsize_DE=15,
+               iterations_DE=15, IC_method="DE")
+    Xm, _ = bo.model_Y.data
+    assert Xm.shape[0] == 6
+    np.testing.assert_allclose(np.asarray(Xm), bo.X_train, rtol=1e-12)
+
+
+def test_so_bo_from_scratch_zero_means_never():
+    """from_scratch=0 is 'never rebuild' (like None), not a modulo-zero
+    crash on the second infill."""
+    spec = {"num_layers": 0, "kernels": "rbf"}
+    bo = SO_BO(problem=_Offset100(), DoE_size=6, model_Y_dic=spec, seed=0)
+    bo.run(2, from_scratch=0, train_iterations=80, popsize_DE=15,
+           iterations_DE=15, IC_method="DE", verbose=False)
+    assert bo.X.shape == (8, 1)

@@ -219,3 +219,15 @@ def test_mf_bo_ic_dispatch():
     assert x.shape == (1, 1) and 0.0 <= x.item() <= 1.0 and f in (0, 1)
     with pytest.raises(ValueError, match="unknown IC"):
         bo.suggest(IC="LCB", popsize_DE=12, iterations_DE=10, num_samples=8)
+
+
+def test_mf_bo_wb2s_with_ar1_surrogate():
+    """WB2S's adaptive-scale resolution routes through the generic
+    _predict_y_moments dispatch, which must handle the MF surrogates
+    (ar1 default here) — not just gpr/dgp."""
+    spec = {"type": "ar1", "n_starts": 2, "iterations": 60}
+    bo = MF_BO(fidelities=[forrester_low, forrester_high], DoE_sizes=(6, 3),
+               d=1, model_dic=spec, seed=5)
+    x, f = bo.suggest(IC="WB2S", popsize_DE=12, iterations_DE=10,
+                      num_samples=8)
+    assert x.shape == (1, 1) and 0.0 <= x.item() <= 1.0 and f in (0, 1)
