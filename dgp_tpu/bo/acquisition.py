@@ -89,7 +89,14 @@ def _model_state(model):
         return "nargp", (model.params, model.train_data)
     if model.name == "mf_dgp":
         return "mf_dgp", model.params
-    return "dgp", model.params
+    if model.name == "dgp":
+        return "dgp", model.params
+    # fail at the dispatch boundary: an unknown wrapper's params pytree would
+    # otherwise reach dgp_mod.predict_y and die (or silently mis-predict)
+    # deep inside the conditional
+    raise ValueError(
+        f"unsupported surrogate kind {model.name!r} for acquisition moments; "
+        "supported: gpr, ar1, nargp, mf_dgp, dgp")
 
 
 def _y_moments_pure(kind, state, x, key, num_samples):

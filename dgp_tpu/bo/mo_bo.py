@@ -314,8 +314,10 @@ class MO_BO:
                 if m.name == "gpr":
                     m.optimize_adam(iterations=iters, lr=0.001)
                 else:
+                    # shrink_inner=False: warm refit, not a cold (re)train —
+                    # see SO_BO._apply_lie
                     m.optimize_nat_adam(iterations1=iters, iterations2=0,
-                                        messages=0)
+                                        messages=0, shrink_inner=False)
 
         if isinstance(model, list):
             for i, m in enumerate(model):

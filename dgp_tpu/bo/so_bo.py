@@ -342,9 +342,12 @@ class SO_BO:
                 else:
                     # short Adam-only refit (MO_BO._condition_on_lie's
                     # recipe) — train_model would prepend its fixed
-                    # 500-step phase to every in-batch lie
+                    # 500-step phase to every in-batch lie.
+                    # shrink_inner=False: the 1e-3 inner-q_sqrt shrink is an
+                    # at-init stabilizer; repeating it per lie collapses the
+                    # trained posterior 1e-3x per pick.
                     model.optimize_nat_adam(iterations1=iters, iterations2=0,
-                                            messages=0)
+                                            messages=0, shrink_inner=False)
 
     # -- BO loop --------------------------------------------------------------------
     def run(self, iterations, from_scratch=None, IC="EI",

@@ -384,20 +384,28 @@ class DGP:
     def optimize_adam(
         self, iterations=5000, lr=0.01, beta_1=0.9, beta_2=0.999,
         epsilon=1e-7, messages=100, checkpoint_path=None, checkpoint_every=0,
+        shrink_inner=True,
     ):
         """Plain Adam on everything, inner q_sqrt shrunk 1e-3 (dgp.py:255-278).
 
         :param checkpoint_path: with ``checkpoint_every`` > 0, the phase runs
             as chunked scans saving params here between chunks, so a long
-            run survives preemption (restore via utils.checkpoint.load)."""
+            run survives preemption (restore via utils.checkpoint.load).
+        :param shrink_inner: scale inner-layer q_sqrt by 1e-3 before the run
+            (the reference does this at the top of EVERY optimize call,
+            dgp.py:268-269 — correct for cold/warm full training, destructive
+            for short warm refits such as batch-BO believer conditioning,
+            which pass False)."""
         with self._train_scope():
             return self._optimize_adam(iterations, lr, beta_1, beta_2,
                                        epsilon, messages, checkpoint_path,
-                                       checkpoint_every)
+                                       checkpoint_every, shrink_inner)
 
     def _optimize_adam(self, iterations, lr, beta_1, beta_2, epsilon,
-                       messages, checkpoint_path, checkpoint_every):
-        self.params = shrink_inner_q_sqrt(self.params)
+                       messages, checkpoint_path, checkpoint_every,
+                       shrink_inner=True):
+        if shrink_inner:
+            self.params = shrink_inner_q_sqrt(self.params)
         mask = training.make_mask(self.params)
         loss_fn, batch = self._loss_spec()
         self.params, losses = training.adam_run(
@@ -412,19 +420,27 @@ class DGP:
     def optimize_nat_adam(
         self, iterations1=100, iterations2=5000, lr_adam=0.01, lr_gamma=0.01,
         beta_1=0.9, beta_2=0.999, epsilon=1e-7, ng_all=True, messages=100,
-        checkpoint_path=None, checkpoint_every=0,
+        checkpoint_path=None, checkpoint_every=0, shrink_inner=True,
     ):
         """Two-phase Adam -> Adam+NatGrad training (dgp.py:280-345).
-        Runs under the 1-pass-cotangent scope (see ``_train_scope``)."""
+        Runs under the 1-pass-cotangent scope (see ``_train_scope``).
+
+        :param shrink_inner: scale inner-layer q_sqrt by 1e-3 first (reference
+            parity, dgp.py:323-324); warm refits (batch-BO lies) pass False —
+            repeating the shrink per refit collapses the trained inner
+            posterior by 1e-3 each time."""
         with self._train_scope():
             return self._optimize_nat_adam(
                 iterations1, iterations2, lr_adam, lr_gamma, beta_1, beta_2,
-                epsilon, ng_all, messages, checkpoint_path, checkpoint_every)
+                epsilon, ng_all, messages, checkpoint_path, checkpoint_every,
+                shrink_inner)
 
     def _optimize_nat_adam(self, iterations1, iterations2, lr_adam, lr_gamma,
                            beta_1, beta_2, epsilon, ng_all, messages,
-                           checkpoint_path, checkpoint_every):
-        self.params = shrink_inner_q_sqrt(self.params)
+                           checkpoint_path, checkpoint_every,
+                           shrink_inner=True):
+        if shrink_inner:
+            self.params = shrink_inner_q_sqrt(self.params)
         n_layers = len(self.params.layers)
         sel = tuple(range(n_layers)) if ng_all else (n_layers - 1,)
         frozen = {i: {"q_mu", "q_sqrt"} for i in sel}

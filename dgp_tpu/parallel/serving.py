@@ -26,7 +26,6 @@ import functools as _functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
@@ -41,7 +40,6 @@ except ImportError:  # pragma: no cover — older JAX spells the kwarg check_rep
 
 from ..models import dgp as _dgp
 from .data_parallel import _require_1d
-from .mesh import pad_to_multiple
 
 
 def sharded_rowwise(mesh: Mesh, fn, axis_name: str = "data", row_axis: int = 1):
@@ -82,9 +80,15 @@ def pad_rows(mesh: Mesh, X, axis_name: str = "data"):
 
     Zero rows are *computed* (harmlessly — prediction has no data term to
     bias) and sliced away by the caller; this keeps the compiled program's
-    shape stable across serving batches of equal padded size.
+    shape stable across serving batches of equal padded size. Pads on device
+    (``jnp.pad``) — an np-side pad would ``device_get`` the whole serving
+    batch and re-upload it (same rationale as :func:`run_sharded`).
     """
-    return pad_to_multiple(np.asarray(X), mesh.shape[axis_name])
+    X = jnp.asarray(X)
+    n = X.shape[0]
+    rem = (-n) % mesh.shape[axis_name]
+    Xp = jnp.pad(X, [(0, rem)] + [(0, 0)] * (X.ndim - 1)) if rem else X
+    return Xp, n
 
 
 @_functools.lru_cache(maxsize=None)
@@ -186,11 +190,7 @@ def run_sharded(engine, params, X, key, mesh, chunk_size=None, row_axis: int = 1
         if chunk_size % mesh.shape[axis_name]:
             raise ValueError("chunk_size must be a device multiple")
         return predict_in_chunks(engine, params, X, key, chunk_size, row_axis)
-    # pad on device (jnp.pad) — np-side padding would device_get the whole
-    # serving batch and re-upload it, two redundant transfers on the hot path
-    n = X.shape[0]
-    rem = (-n) % mesh.shape[axis_name]
-    Xp = jnp.pad(X, [(0, rem)] + [(0, 0)] * (X.ndim - 1)) if rem else X
+    Xp, n = pad_rows(mesh, X, axis_name)
     out = engine(params, Xp, key)
     sl = (slice(None),) * row_axis + (slice(0, n),)
     return jax.tree_util.tree_map(lambda a: a[sl], out)

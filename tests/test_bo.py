@@ -633,3 +633,43 @@ def test_so_bo_from_scratch_zero_means_never():
     bo.run(2, from_scratch=0, train_iterations=80, popsize_DE=15,
            iterations_DE=15, IC_method="DE", verbose=False)
     assert bo.X.shape == (8, 1)
+
+
+def test_so_bo_batch_dgp_believer_preserves_posterior():
+    """Round-4 regression: the in-batch believer refit must NOT re-apply the
+    1e-3 inner-q_sqrt shrink (an at-init stabilizer, dgp.py:268-269) — each
+    lie used to collapse the trained DGP inner posterior by exactly 1e-3,
+    so a q=3 batch computed picks 2 and 3 against a 1e-6x overconfident
+    surrogate."""
+
+    class Unconstrained:
+        constraint = False
+        dim = 1
+
+        def fun(self, x):
+            return [(x - 0.3) ** 2]
+
+    spec = {"num_layers": 1, "num_units": 1, "kernels": "rbf",
+            "num_samples": 3}
+    bo = SO_BO(problem=Unconstrained(), DoE_size=6, model_Y_dic=spec, seed=2)
+    bo.model_Y.optimize_nat_adam(iterations1=5, iterations2=0, messages=0)
+    n0 = float(jnp.linalg.norm(bo.model_Y.params.layers[0].q_sqrt))
+    bo._apply_lie(np.array([[0.5]]), "believer", lie_train_iterations=2)
+    n1 = float(jnp.linalg.norm(bo.model_Y.params.layers[0].q_sqrt))
+    # a 2-step lr=0.01 refit moves the norm slightly; the old bug left it at
+    # exactly 1e-3 * n0
+    assert n1 > 0.5 * n0
+
+
+def test_acquisition_rejects_unknown_surrogate_kind():
+    """_model_state fails at the dispatch boundary for wrappers it does not
+    support (e.g. MF-DGP-EM) instead of mis-treating their params pytree as
+    a plain DGP's."""
+    from dgp_tpu.bo.acquisition import _model_state
+
+    class FakeModel:
+        name = "mf_dgp_EM"
+        params = None
+
+    with pytest.raises(ValueError, match="unsupported surrogate kind"):
+        _model_state(FakeModel())

@@ -181,3 +181,26 @@ def test_multi_output_dgp():
     assert np.all(np.isfinite(np.asarray(losses)))
     mean, var = model.predict(X, num_samples=20)
     assert mean.shape == (25, 2) and np.all(np.isfinite(mean))
+
+
+def test_optimize_shrink_inner_flag():
+    """shrink_inner=False leaves the trained inner posterior untouched (the
+    warm believer-refit path, bo/so_bo._apply_lie); the default True is
+    reference parity — dgp.py:268-269 shrinks inner q_sqrt by 1e-3 at the
+    top of EVERY optimize call. lr=0 Adam makes the update exactly zero,
+    isolating the shrink."""
+    X, Y = step_data(N=20)
+    model = make_model(X, Y, M=5, num_units=(1,), num_samples=3)
+    norm0 = float(jnp.linalg.norm(model.params.layers[0].q_sqrt))
+    model.optimize_nat_adam(iterations1=1, iterations2=0, lr_adam=0.0,
+                            messages=0, shrink_inner=False)
+    n_warm = float(jnp.linalg.norm(model.params.layers[0].q_sqrt))
+    assert n_warm == pytest.approx(norm0, rel=1e-12)
+    model.optimize_nat_adam(iterations1=1, iterations2=0, lr_adam=0.0,
+                            messages=0)
+    n_cold = float(jnp.linalg.norm(model.params.layers[0].q_sqrt))
+    assert n_cold == pytest.approx(1e-3 * norm0, rel=1e-6)
+    # optimize_adam honors the same flag
+    model.optimize_adam(iterations=1, lr=0.0, messages=0, shrink_inner=False)
+    assert float(jnp.linalg.norm(model.params.layers[0].q_sqrt)) == \
+        pytest.approx(n_cold, rel=1e-12)
