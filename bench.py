@@ -263,15 +263,24 @@ def get_baseline():
             return json.load(f)["steps_per_sec"]
     # Median of 3 independent reps: single-rep timings on this shared-CPU
     # box spread ~30% (measured 0.0556-0.0745 steps/s across 5 idle reps);
-    # steal-time outliers land on individual reps, not on all three.
+    # steal-time outliers land on individual reps, not on all three. All
+    # three rep values + a timestamp are cached alongside the median so a
+    # load-contaminated cache can be audited later (a sustained load burst
+    # spanning the whole ~8-minute window biases all reps the same way —
+    # tightly clustered LOW reps in the cache are the tell).
     try:
         reps = sorted(bench_torch_cpu_reference() for _ in range(3))
         sps = reps[1]
     except Exception:
-        sps = None
+        reps, sps = [], None
     if sps is not None:
         with open(BASELINE_CACHE, "w") as f:
-            json.dump({"steps_per_sec": sps, "config": "2-layer DGP N=10k M=128 S=10, eager f64 torch-cpu"}, f)
+            json.dump({
+                "steps_per_sec": sps,
+                "reps": reps,
+                "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+                "config": "2-layer DGP N=10k M=128 S=10, eager f64 torch-cpu",
+            }, f)
     return sps
 
 
