@@ -221,6 +221,18 @@ class SO_BO:
         self.added_points = []
         self.IC = None
         self.constrained_IC = None
+        # pending-point registry (asynchronous ask/tell): raw-coordinate
+        # rows suggested but not yet observed. They persist as believer
+        # lies across suggest() calls — a second suggest() before any
+        # observe() proposes DIFFERENT points — and survive save/load.
+        self.pending = np.zeros((0, self.d))
+        # session-only continuation state: normalized coords of the pending
+        # rows (valid while the archive is unchanged), how many of them the
+        # current surrogates are already conditioned on, and whether an
+        # in-progress suggest sequence can skip retraining
+        self._pending_n = []
+        self._n_lied = 0
+        self._batch_open = False
         import jax
 
         # one persistent key stream: successive run() calls (and checkpoint
@@ -330,6 +342,19 @@ class SO_BO:
             # statements about the OBJECTIVE's optimism, not feasibility
             y_lie = (self._fantasy_mean(model, x) if k > 0
                      else _lie_value(model))
+            if k == 0 and self.IC is not None:
+                # Kriging Believer treats the lie as an observation, so the
+                # in-batch incumbent drops with it (Ginsbourger et al. 2010).
+                # Without this, EI at an already-picked point stays
+                # ~(y_min - mu) > 0 whenever the believed mean undercuts the
+                # real incumbent, and the batch re-picks the same point.
+                # y_min is a traced engine arg (acquisition.py:75), so the
+                # in-place update never recompiles; the REAL Ymin trace and
+                # every fresh _build_IC are untouched.
+                import jax.numpy as jnp
+
+                self.IC.y_min = jnp.minimum(
+                    self.IC.y_min, float(np.min(y_lie)))
             Xt = np.vstack([np.asarray(model.data[0]), x])
             Yt = np.vstack([np.asarray(model.data[1]), y_lie])
             model.data = (as_j(Xt), as_j(Yt))
@@ -381,52 +406,10 @@ class SO_BO:
             if verbose:
                 print("Actual Y min:", self.Ymin[-1])
 
-    def _propose(self, batch_size=1, IC="EI", constraint_handling="PoF",
-                 threshold=0.1, train_iterations=1000, popsize_DE=300,
-                 popstd_DE=1.5, iterations_DE=400, init_adam=None,
-                 iterations_adam=1000, IC_method="DE+Adam", analytic=True,
-                 lie="believer", lie_train_iterations=None, from_scratch=None,
-                 verbose=False):
-        """One acquisition round: (re)train the surrogates on the current
-        archive, maximize the infill criterion ``batch_size`` times with
-        believer/liar conditioning between picks, and return the picks as a
-        list of raw-coordinate [1, d] rows (the archive is NOT touched —
-        callers evaluate and append via :meth:`add_point` /
-        :meth:`observe`). Also sets ``added_points`` (normalized [q, d])."""
-        # global infill counter (survives run() calls and save/load, so a
-        # resumed loop keeps the exact from_scratch/full-vs-half-train
-        # cadence of the uninterrupted one)
-        j = self._iteration
-        if verbose:
-            print(f"adding the most promising data point in iteration {j}")
-        bounds = (self.lw_n, self.up_n)
-        # from_scratch None or 0 = never rebuild (0 would divide by zero)
-        rebuild = bool(from_scratch) and j != 0 and j % from_scratch == 0
-        if rebuild:
-            self.model_Y = self.make_model(
-                self.model_Y_dic, self.X_train, self.Y_train
-            )
-            if self.problem.constraint:
-                self.model_C = [
-                    self.make_model(
-                        self.model_C_dic[i], self.X_train,
-                        self.C_train[:, i].reshape(-1, 1),
-                    )
-                    for i in range(self.C.shape[1])
-                ]
-        if not rebuild:
-            # re-point the surrogates at the real archive before training —
-            # this also strips believer/liar fantasy rows left behind by an
-            # abandoned suggest() batch (fantasy rows must never be trained
-            # on as real observations)
-            self._rebind_data()
-        if j == 0 or rebuild:
-            self.train_models(train_iterations, train_iterations)
-        else:
-            self.train_models(train_iterations // 2, train_iterations // 2)
-
-        # the incumbent must live in the surrogate's OUTPUT space: normalized
-        # when the surrogate trains on Y_n, raw when normalize_input=False
+    def _build_IC(self, IC, bounds):
+        """Construct self.IC from the current incumbent. The incumbent must
+        live in the surrogate's OUTPUT space: normalized when the surrogate
+        trains on Y_n, raw when normalize_input=False."""
         if self.normalize_input:
             y_min_n = (self.Ymin[-1] - self.Y.mean(axis=0)) / _safe_std(self.Y)
         else:
@@ -439,12 +422,95 @@ class SO_BO:
             self.IC = WB2S(y_min_n, self.d)
         else:
             raise ValueError(f"unknown IC {IC!r}")
-
         if isinstance(self.IC, WB2S):
             # adaptive s is resolved from the unconstrained EI maximizer
             # once per infill (fresh y_min => fresh IC object)
             self.IC.resolve_scale(self.model_Y, bounds,
                                   key=self._next_run_key())
+
+    def _normalize_x(self, x_raw):
+        """Raw [1, d] -> the surrogate's input coordinates."""
+        x_raw = np.asarray(x_raw, dtype=float).reshape(1, self.d)
+        if not self.normalize_input:
+            return x_raw
+        return (x_raw - self.X.mean(axis=0)) / _safe_std(self.X)
+
+    def clear_pending(self):
+        """Drop all outstanding suggested-but-unobserved points (e.g. after
+        abandoning external evaluations). Their believer lies stop
+        conditioning future proposals at the next (re)training."""
+        self.pending = np.zeros((0, self.d))
+        self._pending_n = []
+        self._n_lied = 0
+        self._batch_open = False
+
+    def _propose(self, batch_size=1, IC="EI", constraint_handling="PoF",
+                 threshold=0.1, train_iterations=1000, popsize_DE=300,
+                 popstd_DE=1.5, iterations_DE=400, init_adam=None,
+                 iterations_adam=1000, IC_method="DE+Adam", analytic=True,
+                 lie="believer", lie_train_iterations=None, from_scratch=None,
+                 verbose=False, _continue_batch=False):
+        """One acquisition round: (re)train the surrogates on the current
+        archive, maximize the infill criterion ``batch_size`` times with
+        believer/liar conditioning between picks, and return the picks as a
+        list of raw-coordinate [1, d] rows (the archive is NOT touched —
+        callers evaluate and append via :meth:`add_point` /
+        :meth:`observe`). Also sets ``added_points`` (normalized [q, d]).
+
+        Outstanding :attr:`pending` points (suggested, not yet observed)
+        always condition the proposal as believer lies, so proposals avoid
+        in-flight evaluations. With ``_continue_batch`` (the suggest() path)
+        and an unchanged archive, the already-trained-and-conditioned
+        surrogates are reused — a second suggest() before any observe()
+        then continues the in-progress batch exactly (same surrogate state
+        and key stream as one bigger batch_size)."""
+        # global infill counter (survives run() calls and save/load, so a
+        # resumed loop keeps the exact from_scratch/full-vs-half-train
+        # cadence of the uninterrupted one)
+        j = self._iteration
+        if verbose:
+            print(f"adding the most promising data point in iteration {j}")
+        bounds = (self.lw_n, self.up_n)
+        cont = _continue_batch and self._batch_open and len(self.pending) > 0
+        if not cont:
+            # from_scratch None or 0 = never rebuild (0 would divide by zero)
+            rebuild = bool(from_scratch) and j != 0 and j % from_scratch == 0
+            if rebuild:
+                self.model_Y = self.make_model(
+                    self.model_Y_dic, self.X_train, self.Y_train
+                )
+                if self.problem.constraint:
+                    self.model_C = [
+                        self.make_model(
+                            self.model_C_dic[i], self.X_train,
+                            self.C_train[:, i].reshape(-1, 1),
+                        )
+                        for i in range(self.C.shape[1])
+                    ]
+            if not rebuild:
+                # re-point the surrogates at the real archive before
+                # training — fantasy rows (pending lies included) must
+                # never be trained on as real observations; pending lies
+                # are re-applied AFTER training, below
+                self._rebind_data()
+            if j == 0 or rebuild:
+                self.train_models(train_iterations, train_iterations)
+            else:
+                self.train_models(train_iterations // 2, train_iterations // 2)
+            self._build_IC(IC, bounds)
+            # fresh surrogates: none of the pending rows condition them yet
+            self._pending_n = [self._normalize_x(p) for p in self.pending]
+            self._n_lied = 0
+        elif self.IC is None or type(self.IC).__name__ != IC:
+            # continuation normally reuses the in-progress IC (same
+            # incumbent — the archive is unchanged); rebuild only if the
+            # caller switched criterion mid-batch
+            self._build_IC(IC, bounds)
+
+        # condition on pending rows the current surrogates have not seen
+        for i in range(self._n_lied, len(self._pending_n)):
+            self._apply_lie(self._pending_n[i], lie, lie_train_iterations)
+        self._n_lied = len(self._pending_n)
 
         candidates = []
         for b in range(batch_size):
@@ -500,17 +566,40 @@ class SO_BO:
         Feed the results back with :meth:`observe`. Accepts the same
         keyword arguments as :meth:`run` (IC=, IC_method=, lie=, ...).
 
+        Every suggested point is registered in :attr:`pending` and
+        conditions later proposals as a believer lie until :meth:`observe`
+        resolves it — so back-to-back ``suggest()`` calls without an
+        ``observe()`` propose *different* points (a genuinely asynchronous
+        lab can keep asking while evaluations are in flight), and
+        ``suggest(1); suggest(1); observe(both)`` walks the same surrogate
+        state and key stream as one ``suggest(2)``. Abandon outstanding
+        points with :meth:`clear_pending`.
+
         ``suggest``/``observe`` and ``run`` share the infill counter and
         PRNG stream, so they can be interleaved (and checkpointed with
-        save/load) freely."""
-        raw = self._propose(batch_size=batch_size, **propose_kwargs)
-        return np.vstack(raw)
+        save/load — pending state included) freely."""
+        raw = self._propose(batch_size=batch_size, _continue_batch=True,
+                            **propose_kwargs)
+        arr = np.vstack(raw)
+        self.pending = np.vstack([self.pending, arr])
+        # the picks were proposed in the CURRENT normalization — keep their
+        # normalized coords so in-batch continuation conditions on exactly
+        # the optimized coordinates (renormalizing raw would round-trip
+        # through denormalize and can clip at the domain box)
+        self._pending_n.extend(
+            row[None] for row in np.asarray(self.added_points))
+        # _propose already conditioned the surrogates on all old pending
+        # rows and on every in-batch pick except the last
+        self._n_lied = len(self._pending_n) - 1
+        self._batch_open = True
+        return arr
 
     def observe(self, X_new, Y_new, C_new=None):
         """Ask/tell interface, step 2: append externally evaluated points
         (raw coordinates + objective values, and constraint values for
         constrained problems), update the feasible set / Ymin trace /
-        normalization, and advance the infill counter."""
+        normalization, resolve matching :attr:`pending` entries, and
+        advance the infill counter."""
         X_new = np.asarray(X_new, dtype=float).reshape(-1, self.d)
         Y_new = np.asarray(Y_new, dtype=float).reshape(len(X_new), -1)
         if C_new is not None:
@@ -518,7 +607,20 @@ class SO_BO:
         for i in range(len(X_new)):
             self._append_observation(
                 X_new[i], Y_new[i], C_new[i] if C_new is not None else None)
+        self._resolve_pending(X_new)
         self._iteration += 1
+
+    def _resolve_pending(self, X_obs):
+        """Remove observed rows from the pending registry (nearest match
+        within a tight absolute tolerance; unmatched observations are
+        legitimate external data and leave pending untouched)."""
+        for row in np.asarray(X_obs, dtype=float).reshape(-1, self.d):
+            if not len(self.pending):
+                break
+            dist = np.linalg.norm(self.pending - row[None], axis=1)
+            k = int(np.argmin(dist))
+            if dist[k] <= 1e-8 * max(1.0, float(np.linalg.norm(row))):
+                self.pending = np.delete(self.pending, k, axis=0)
 
     def _rebind_data(self):
         import jax.numpy as jnp
@@ -583,6 +685,11 @@ class SO_BO:
             self.Ymin = np.append(self.Ymin, np.min(self.Y))
         self._refresh_normalization()
         self._rebind_data()
+        # the archive (and its normalization) changed: any in-progress
+        # suggest continuation is stale, and the rebind stripped all lies
+        self._batch_open = False
+        self._pending_n = []
+        self._n_lied = 0
 
     # -- checkpoint / resume ------------------------------------------------------
     def save(self, path: str):
@@ -603,6 +710,7 @@ class SO_BO:
             "n_bucket": np.asarray(self.n_bucket or 0),
             "normalize_input": np.asarray(bool(self.normalize_input)),
             "iteration": np.asarray(self._iteration),
+            "pending": self.pending,
         }
         if self.problem.constraint:
             state["C"] = self.C
@@ -659,4 +767,7 @@ class SO_BO:
         bo.Ymin = list(np.asarray(data["Ymin"], dtype=float))
         bo._run_key = jax.numpy.asarray(data["run_key"])
         bo._iteration = int(data["iteration"])
+        if "pending" in data.files:
+            bo.pending = np.asarray(data["pending"],
+                                    dtype=float).reshape(-1, bo.d)
         return bo

@@ -428,20 +428,24 @@ def test_so_bo_batch_infill_unconstrained_spreads():
             return [(x - 0.3) ** 2]
 
     spec = {"num_layers": 0, "kernels": "rbf"}
+    kw = dict(IC="EI", train_iterations=150, popsize_DE=30, iterations_DE=40,
+              IC_method="DE", batch_size=3, verbose=False)
     bo = SO_BO(problem=Unconstrained(), DoE_size=6, model_Y_dic=spec, seed=1)
-    bo.run(2, IC="EI", train_iterations=150, popsize_DE=30, iterations_DE=40,
-           IC_method="DE", batch_size=3, verbose=False)
-    # archive grows by q per infill; Ymin traces every evaluated point
-    assert bo.X.shape == (12, 1)
-    assert len(bo.Ymin) == 1 + 2 * 3
-    assert np.all(np.diff(bo.Ymin) <= 1e-12)
-    # the q picks of each infill are pairwise distinct in normalized coords
+    bo.run(1, **kw)
+    # the q picks of the FIRST infill (real posterior uncertainty) are
+    # pairwise distinct in normalized coords; by later infills the optimum
+    # is exploited, the posterior collapses, and clustering is legitimate
     batch = np.asarray(bo.added_points)
     assert batch.shape == (3, 1)
     d01 = abs(batch[0, 0] - batch[1, 0])
     d02 = abs(batch[0, 0] - batch[2, 0])
     d12 = abs(batch[1, 0] - batch[2, 0])
     assert min(d01, d02, d12) > 1e-4
+    bo.run(1, **kw)
+    # archive grows by q per infill; Ymin traces every evaluated point
+    assert bo.X.shape == (12, 1)
+    assert len(bo.Ymin) == 1 + 2 * 3
+    assert np.all(np.diff(bo.Ymin) <= 1e-12)
 
 
 def test_so_bo_batch_lies_never_reach_archive():
@@ -609,20 +613,137 @@ def test_so_bo_raw_units_incumbent_when_unnormalized():
     assert float(bo.IC.y_min) == pytest.approx(float(np.min(bo.Y)))
 
 
-def test_so_bo_abandoned_suggest_batch_is_stripped():
-    """A suggest() batch that is never observe()d leaves believer rows in
-    the surrogate data; the next proposal must rebind to the real archive
-    before training (fantasy rows are not observations)."""
+def test_so_bo_pending_points_persist_as_lies():
+    """Suggested-but-unobserved points persist in the pending registry: a
+    later suggest() conditions on ALL of them as believer lies (the second
+    call continues the in-progress batch — 6 real rows + 3 outstanding
+    lies), and clear_pending() + a fresh proposal rebinds the surrogate to
+    the real archive (fantasy rows are never trained on as observations)."""
     spec = {"num_layers": 0, "kernels": "rbf"}
+    kw = dict(train_iterations=80, popsize_DE=15, iterations_DE=15,
+              IC_method="DE")
     bo = SO_BO(problem=_Offset100(), DoE_size=6, model_Y_dic=spec, seed=0)
-    bo.suggest(batch_size=3, train_iterations=80, popsize_DE=15,
-               iterations_DE=15, IC_method="DE")
-    assert np.asarray(bo.model_Y.data[0]).shape[0] == 8  # 6 + 2 lies
-    bo.suggest(batch_size=1, train_iterations=80, popsize_DE=15,
-               iterations_DE=15, IC_method="DE")
-    Xm, _ = bo.model_Y.data
-    assert Xm.shape[0] == 6
-    np.testing.assert_allclose(np.asarray(Xm), bo.X_train, rtol=1e-12)
+    bo.suggest(batch_size=3, **kw)
+    assert bo.pending.shape == (3, 1)
+    assert np.asarray(bo.model_Y.data[0]).shape[0] == 8  # 6 + 2 in-batch lies
+    bo.suggest(batch_size=1, **kw)
+    assert bo.pending.shape == (4, 1)
+    # continuation conditioned on the 3rd outstanding point before picking
+    assert np.asarray(bo.model_Y.data[0]).shape[0] == 9
+    bo.clear_pending()
+    assert bo.pending.shape == (0, 1)
+    bo.suggest(batch_size=1, **kw)
+    # fresh training rebound to the real archive; only the new pick pends
+    np.testing.assert_allclose(np.asarray(bo.model_Y.data[0]), bo.X_train,
+                               rtol=1e-12)
+    assert bo.pending.shape == (1, 1)
+
+
+class _DoubleWell:
+    """Two equal minima at x=0.25 and x=0.75. With a SPARSE DoE (4 points,
+    seed 5: one well sampled, the other uncertain) the believer lie at the
+    first pick moves the EI mass decisively to the unexplored region — a
+    robust spread oracle. Dense DoEs fully resolve this smooth function
+    (posterior variance ~0 everywhere), after which any acquisition
+    legitimately has nothing left to spread over."""
+
+    constraint = False
+    dim = 1
+
+    def fun(self, x):
+        return [100.0 * (x - 0.25) ** 2 * (x - 0.75) ** 2]
+
+
+def test_so_bo_back_to_back_suggests_spread():
+    """Two suggest(1) calls without an observe() must propose DIFFERENT
+    points: the first pick's believer lie collapses EI there (data row +
+    fantasy incumbent), so the second pick moves to the unexplored region
+    (the async-lab workflow, VERDICT r4 item 1). Before the pending
+    registry the second call re-proposed the same point to DE resolution
+    (~2e-9)."""
+    spec = {"num_layers": 0, "kernels": "rbf"}
+    kw = dict(train_iterations=150, popsize_DE=40, popstd_DE=3.0,
+              iterations_DE=60, IC_method="DE")
+    bo = SO_BO(problem=_DoubleWell(), DoE_size=4, model_Y_dic=spec, seed=5)
+    x1 = bo.suggest(batch_size=1, **kw)
+    x2 = bo.suggest(batch_size=1, **kw)
+    assert abs(float(x1[0, 0]) - float(x2[0, 0])) > 0.05
+    assert bo.pending.shape == (2, 1)
+
+
+def test_so_bo_async_suggests_match_batch_infill():
+    """suggest(1); suggest(1); observe(both) must reproduce the
+    batch_size=2 trajectory exactly: the continuation reuses the trained
+    surrogate, applies the identical believer lie, and draws the identical
+    next key, so resolving all pending recovers the one-call batch."""
+
+    class Unconstrained:
+        constraint = False
+        dim = 1
+
+        def fun(self, x):
+            return [(x - 0.3) ** 2]
+
+    spec = {"num_layers": 0, "kernels": "rbf"}
+    kw = dict(IC="EI", train_iterations=100, popsize_DE=25, iterations_DE=30,
+              IC_method="DE")
+
+    bo1 = SO_BO(problem=Unconstrained(), DoE_size=6, model_Y_dic=spec, seed=7)
+    X_b = bo1.suggest(batch_size=2, **kw)
+    bo1.observe(X_b, (X_b - 0.3) ** 2)
+
+    bo2 = SO_BO(problem=Unconstrained(), DoE_size=6, model_Y_dic=spec, seed=7)
+    xa = bo2.suggest(batch_size=1, **kw)
+    xb = bo2.suggest(batch_size=1, **kw)
+    X_a = np.vstack([xa, xb])
+    bo2.observe(X_a, (X_a - 0.3) ** 2)
+
+    np.testing.assert_array_equal(X_b, X_a)
+    np.testing.assert_array_equal(bo1.X, bo2.X)
+    np.testing.assert_array_equal(np.asarray(bo1._run_key),
+                                  np.asarray(bo2._run_key))
+    assert bo1.pending.shape == bo2.pending.shape == (0, 1)
+    assert bo1._iteration == bo2._iteration
+
+
+def test_so_bo_observe_resolves_only_matching_pending():
+    """observe() removes exactly the pending entries it matches; unmatched
+    observations are external data and leave the rest outstanding."""
+    spec = {"num_layers": 0, "kernels": "rbf"}
+    kw = dict(train_iterations=80, popsize_DE=15, iterations_DE=15,
+              IC_method="DE")
+    bo = SO_BO(problem=_Offset100(), DoE_size=6, model_Y_dic=spec, seed=0)
+    X_s = bo.suggest(batch_size=2, **kw)
+    # resolve only the second suggestion + inject one external point
+    x_ext = np.asarray([[0.123]])
+    X_obs = np.vstack([X_s[1:2], x_ext])
+    bo.observe(X_obs, 100.0 * (X_obs - 0.3) ** 2 + 100.0)
+    assert bo.pending.shape == (1, 1)
+    np.testing.assert_allclose(bo.pending, X_s[0:1], atol=1e-12)
+    assert bo.X.shape == (8, 1)
+    # the still-outstanding point conditions the next proposal
+    bo.suggest(batch_size=1, **kw)
+    assert np.asarray(bo.model_Y.data[0]).shape[0] == 9  # 8 real + 1 lie
+
+
+def test_so_bo_pending_roundtrips_save_load(tmp_path):
+    """save()/load() must round-trip the pending registry, and the loaded
+    loop's next proposal must avoid the outstanding point."""
+    spec = {"num_layers": 0, "kernels": "rbf"}
+    kw = dict(train_iterations=150, popsize_DE=40, popstd_DE=3.0,
+              iterations_DE=60, IC_method="DE")
+
+    bo = SO_BO(problem=_DoubleWell(), DoE_size=4, model_Y_dic=spec, seed=5)
+    x1 = bo.suggest(batch_size=1, **kw)
+    path = str(tmp_path / "pending.npz")
+    bo.save(path)
+    bo2 = SO_BO.load(path, _DoubleWell(), spec)
+    np.testing.assert_array_equal(bo2.pending, bo.pending)
+    np.testing.assert_array_equal(bo2.pending, x1)
+    x2 = bo2.suggest(batch_size=1, **kw)
+    assert abs(float(x2[0, 0]) - float(x1[0, 0])) > 0.05
+    # loaded loop conditioned on the outstanding lie before picking
+    assert np.asarray(bo2.model_Y.data[0]).shape[0] == 5
 
 
 def test_so_bo_from_scratch_zero_means_never():
