@@ -124,6 +124,20 @@ class MO_BO:
 
         self.hv_trace: List[float] = [self._hv()]
         self.added_points: List[np.ndarray] = []
+        # pending-point registry (asynchronous ask/tell, as SO_BO): raw-
+        # coordinate rows suggested but not yet observed. They persist on
+        # the fantasy front (and, for independent surrogates, as believer
+        # lies in the surrogate data) across suggest() calls, and survive
+        # save/load.
+        self.pending = np.zeros((0, self.d))
+        # session-only continuation state: normalized pending coords, how
+        # many of them the current batch state already conditions on, and
+        # the in-progress batch state itself (trained surrogates + frozen
+        # normalization + fantasy front)
+        self._pending_n: List[np.ndarray] = []
+        self._n_lied = 0
+        self._batch_open = False
+        self._bstate = None
         import jax
 
         self._run_key = jax.random.PRNGKey(seed or 0)
@@ -369,34 +383,44 @@ class MO_BO:
                     print(f"infill {it}: x={np.round(x_new.ravel(), 4)} "
                           f"f=({f_new[0].item():.4f}, {f_new[1].item():.4f}) "
                           f"HV={self.hv_trace[-1]:.5f}", flush=True)
+            self._archive_changed()
             self._iteration += 1
         return list(self.hv_trace)
 
-    def _propose(self, batch_size=1, approximation="None", S=1000,
-                 method="DE", popsize_DE=300, iterations_DE=400,
-                 iterations_adam=1000, lie_train_iterations=None):
-        """One acquisition round: train a fresh surrogate on the current
-        archive, maximize EHVI ``batch_size`` times with believer
-        conditioning + fantasy-front updates between picks, and return the
-        picks as a list of raw-coordinate [1, d] rows (clipped to the
-        domain box; the archive is NOT touched)."""
+    def _normalize_x(self, x_raw):
+        """Raw [1, d] -> the surrogate's normalized input coordinates."""
+        x_raw = np.asarray(x_raw, dtype=float).reshape(1, self.d)
+        return (x_raw - self.X.mean(axis=0)) / _safe_std(self.X)
+
+    def clear_pending(self):
+        """Drop all outstanding suggested-but-unobserved points; their
+        believer outcomes stop conditioning future proposals at the next
+        fresh batch."""
+        self.pending = np.zeros((0, self.d))
+        self._pending_n = []
+        self._n_lied = 0
+        self._batch_open = False
+        self._bstate = None
+
+    def _fresh_batch_state(self, it):
+        """Train surrogates on the real archive and freeze the batch
+        state: normalized domain box, objective-normalization stats, the
+        hypervolume box mapped through them, and fantasy copies of the
+        archive (believer outcomes land there — and in the surrogate data
+        — but never in self.F/self.C). The stats are FROZEN for the whole
+        batch: the surrogate was trained under them, and fantasy rows must
+        not shift them (nb_modgp cell 26 workflow)."""
         sched = self.model_dic.get("schedule", (100, 0, 0))
         # "auto" = run once, escalate to best-of-k only on a measured bad
         # basin (models/mo_dgp.py optimize_nat_adam)
         restarts = self.model_dic.get("restarts", "auto")
         if restarts != "auto":
             restarts = int(restarts)
-        it = self._iteration
         Xn, Fn, lw_n, up_n = self._normalized()
         model = self.make_model(Xn, Fn, seed=it)
         self._train_model(model, sched, restarts)
         model_C, zero_n = self._make_train_con_models(Xn)
 
-        # padded descending front in normalized objective space, with
-        # the problem's hypervolume box mapped through the same
-        # normalization (nb_modgp cell 26 workflow). The normalization
-        # stats are FROZEN for the whole batch — the surrogate was
-        # trained under them, and fantasy rows must not shift them.
         b = self.problem.bounds
         f0, f1 = self.F
         mu = (f0.mean(), f1.mean())
@@ -405,10 +429,64 @@ class MO_BO:
                  float((b[3] - mu[1]) / sd[1]))
         ideal = (float((b[0] - mu[0]) / sd[0]),
                  float((b[1] - mu[1]) / sd[1]))
-        # fantasy copies of the archive: believer outcomes land here
-        # (and in the surrogate data) but never in self.F/self.C
-        F_fant = [self.F[0].copy(), self.F[1].copy()]
-        C_fant = self.C.copy()
+        return dict(model=model, model_C=model_C, zero_n=zero_n,
+                    mu=mu, sd=sd, nadir=nadir, ideal=ideal,
+                    lw_n=lw_n, up_n=up_n,
+                    F_fant=[self.F[0].copy(), self.F[1].copy()],
+                    C_fant=self.C.copy())
+
+    def _lie_at(self, st, x_n, lie_train_iterations):
+        """Fantasize a believer outcome at normalized ``x_n``: append it to
+        the batch state's fantasy front (raw objective units) and condition
+        the independent surrogates on it."""
+        f_lie_n = self._fantasy_objectives(st["model"], x_n)
+        mu, sd = st["mu"], st["sd"]
+        st["F_fant"] = [np.vstack([st["F_fant"][i],
+                                   [[f_lie_n[i] * sd[i] + mu[i]]]])
+                        for i in (0, 1)]
+        if self.n_con:
+            # believer constraint row: the fantasy point counts as
+            # feasible for the fantasy front iff every constraint
+            # surrogate's mean is feasible
+            from .so_bo import fantasy_mean as _fm
+
+            c_row = [1.0 if float(_fm(st["model_C"][i],
+                                      x_n)[0, 0]) > st["zero_n"][i]
+                     else -1.0 for i in range(self.n_con)]
+            st["C_fant"] = np.vstack([st["C_fant"], [c_row]])
+        else:
+            st["C_fant"] = np.vstack([st["C_fant"], [[-1.0]]])
+        self._condition_on_lie(st["model"], st["model_C"], x_n, f_lie_n,
+                               lie_train_iterations)
+
+    def _propose(self, batch_size=1, approximation="None", S=1000,
+                 method="DE", popsize_DE=300, iterations_DE=400,
+                 iterations_adam=1000, lie_train_iterations=None,
+                 _continue_batch=False):
+        """One acquisition round: train a fresh surrogate on the current
+        archive, maximize EHVI ``batch_size`` times with believer
+        conditioning + fantasy-front updates between picks, and return the
+        picks as a list of raw-coordinate [1, d] rows (clipped to the
+        domain box; the archive is NOT touched).
+
+        Outstanding :attr:`pending` points always join the fantasy front
+        (and condition independent surrogates) before picking, so
+        proposals avoid in-flight evaluations. With ``_continue_batch``
+        (the suggest() path) and an unchanged archive, the in-progress
+        batch state is reused — a second suggest() before any observe()
+        continues the batch exactly as one larger batch_size would."""
+        cont = (_continue_batch and self._batch_open
+                and len(self.pending) > 0 and self._bstate is not None)
+        if not cont:
+            self._bstate = self._fresh_batch_state(self._iteration)
+            self._pending_n = [self._normalize_x(p) for p in self.pending]
+            self._n_lied = 0
+        st = self._bstate
+        # condition on pending rows the current batch state has not seen
+        for i in range(self._n_lied, len(self._pending_n)):
+            self._lie_at(st, self._pending_n[i], lie_train_iterations)
+        self._n_lied = len(self._pending_n)
+
         picks = []
         for bq in range(batch_size):
             # repeat the nadir corner up to the bucket: zero-width
@@ -418,42 +496,28 @@ class MO_BO:
             # grows. Constrained problems can start with ZERO feasible
             # rows — then there is no front and optimize_EHVI runs the
             # PoF-only bootstrap (YND=None) until a feasible point lands
-            NDT = NDC(F_fant, C_fant, obj1_ascending=False)
-            Fn_fant = [(F_fant[i] - mu[i]) / sd[i] for i in (0, 1)]
-            YND = (pad_front(Y_ND(Fn_fant, NDT, nadir=nadir, ideal=ideal),
-                             self.n_bucket)
+            NDT = NDC(st["F_fant"], st["C_fant"], obj1_ascending=False)
+            Fn_fant = [(st["F_fant"][i] - st["mu"][i]) / st["sd"][i]
+                       for i in (0, 1)]
+            YND = (pad_front(Y_ND(Fn_fant, NDT, nadir=st["nadir"],
+                                  ideal=st["ideal"]), self.n_bucket)
                    if len(NDT) else None)
 
             x_opt_n = optimize_EHVI(
-                model, YND, method=method, popsize_DE=popsize_DE,
+                st["model"], YND, method=method, popsize_DE=popsize_DE,
                 iterations_DE=iterations_DE,
                 iterations_adam=iterations_adam,
                 approximation=approximation, S=S,
-                bounds=(lw_n, up_n),
+                bounds=(st["lw_n"], st["up_n"]),
                 key=self._next_run_key(),
-                model_C=model_C, zero_c=zero_n)
+                model_C=st["model_C"], zero_c=st["zero_n"])
             x_opt_n = np.asarray(x_opt_n).reshape(1, self.d)
             picks.append(x_opt_n)
             if bq < batch_size - 1:
-                f_lie_n = self._fantasy_objectives(model, x_opt_n)
-                F_fant = [np.vstack([F_fant[i],
-                                     [[f_lie_n[i] * sd[i] + mu[i]]]])
-                          for i in (0, 1)]
-                if self.n_con:
-                    # believer constraint row: the fantasy point counts
-                    # as feasible for the fantasy front iff every
-                    # constraint surrogate's mean is feasible
-                    from .so_bo import fantasy_mean as _fm
+                self._lie_at(st, x_opt_n, lie_train_iterations)
 
-                    c_row = [1.0 if float(_fm(model_C[i],
-                                              x_opt_n)[0, 0]) > zero_n[i]
-                             else -1.0 for i in range(self.n_con)]
-                    C_fant = np.vstack([C_fant, [c_row]])
-                else:
-                    C_fant = np.vstack([C_fant, [[-1.0]]])
-                self._condition_on_lie(model, model_C, x_opt_n, f_lie_n,
-                                       lie_train_iterations)
-
+        # normalized picks for suggest()'s pending bookkeeping
+        self._proposed_n = picks
         # denormalize against the batch-start archive (self.X is
         # untouched here, so its stats are the frozen ones every pick
         # was proposed in) and clip to the domain box
@@ -468,9 +532,28 @@ class MO_BO:
         external/asynchronous evaluation. Feed results back with
         :meth:`observe`. Accepts :meth:`run`'s keyword arguments
         (approximation=, S=, method=, ...). Shares the infill counter and
-        PRNG stream with ``run``, so the two interleave freely."""
-        raw = self._propose(batch_size=batch_size, **propose_kwargs)
-        return np.vstack(raw)
+        PRNG stream with ``run``, so the two interleave freely.
+
+        Every suggested point is registered in :attr:`pending` and joins
+        the fantasy front (its believer outcome conditions later EHVI
+        proposals) until :meth:`observe` resolves it — back-to-back
+        ``suggest()`` calls without an ``observe()`` therefore propose
+        different points, and ``suggest(1); suggest(1); observe(both)``
+        walks the same batch state and key stream as one ``suggest(2)``.
+        Abandon outstanding points with :meth:`clear_pending`; pending
+        state survives save/load."""
+        raw = self._propose(batch_size=batch_size, _continue_batch=True,
+                            **propose_kwargs)
+        arr = np.vstack(raw)
+        self.pending = np.vstack([self.pending, arr])
+        # keep the exact normalized coords the picks were optimized in
+        # (renormalizing raw would round-trip through the domain clip)
+        self._pending_n.extend(self._proposed_n)
+        # _propose conditioned on all old pending rows and on every
+        # in-batch pick except the last
+        self._n_lied = len(self._pending_n) - 1
+        self._batch_open = True
+        return arr
 
     def observe(self, X_new, F_new, C_new=None):
         """Ask/tell interface, step 2: append externally evaluated points.
@@ -501,8 +584,30 @@ class MO_BO:
                                 else [[-1.0]]])
             self.added_points.append(X_new[i:i + 1])
             self.hv_trace.append(self._hv())
+        self._resolve_pending(X_new)
+        self._archive_changed()
         self._iteration += 1
         return list(self.hv_trace)
+
+    def _resolve_pending(self, X_obs):
+        """Remove observed rows from the pending registry (nearest match
+        within a tight absolute tolerance; unmatched observations are
+        legitimate external data and leave pending untouched)."""
+        for row in np.asarray(X_obs, dtype=float).reshape(-1, self.d):
+            if not len(self.pending):
+                break
+            dist = np.linalg.norm(self.pending - row[None], axis=1)
+            k = int(np.argmin(dist))
+            if dist[k] <= 1e-8 * max(1.0, float(np.linalg.norm(row))):
+                self.pending = np.delete(self.pending, k, axis=0)
+
+    def _archive_changed(self):
+        """The archive (and its normalization) changed: any in-progress
+        batch state is stale."""
+        self._batch_open = False
+        self._bstate = None
+        self._pending_n = []
+        self._n_lied = 0
 
     # -- checkpoint / resume -----------------------------------------------------
     def save(self, path: str):
@@ -528,6 +633,7 @@ class MO_BO:
             "added_points": (np.concatenate(self.added_points, axis=0)
                              if self.added_points
                              else np.zeros((0, self.d))),
+            "pending": self.pending,
         }
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
@@ -565,4 +671,7 @@ class MO_BO:
         bo.C = np.asarray(data["C"], dtype=float)
         bo.added_points = [row[None, :] for row in
                            np.asarray(data["added_points"], dtype=float)]
+        if "pending" in data.files:
+            bo.pending = np.asarray(data["pending"],
+                                    dtype=float).reshape(-1, bo.d)
         return bo

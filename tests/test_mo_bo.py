@@ -386,3 +386,89 @@ def test_mo_bo_observe_constrained_requires_c():
     bo = MO_BO(problem=get("bnh"), DoE_size=10, seed=0)
     with pytest.raises(ValueError, match="constraint values"):
         bo.observe(np.asarray([[0.5, 0.5]]), np.asarray([[1.0, 2.0]]))
+
+
+# -- pending registry (asynchronous ask/tell) -------------------------------------
+
+def test_mo_bo_async_suggests_match_batch_infill():
+    """suggest(1); suggest(1); observe(both) must reproduce the
+    batch_size=2 trajectory exactly: the continuation reuses the trained
+    batch state, fantasizes the identical believer outcome, and draws the
+    identical next key."""
+    problem = get("multi_obj_1D_4")
+    kw = _fast_run_kwargs()
+    kw.pop("verbose")
+
+    def f_of(X_new):
+        return [np.asarray([np.reshape(problem.fun(x)[i], ()) for x in X_new])
+                for i in (0, 1)]
+
+    bo1 = MO_BO(problem=problem, DoE_size=8, seed=5)
+    X_b = bo1.suggest(batch_size=2, **kw)
+    bo1.observe(X_b, f_of(X_b))
+
+    bo2 = MO_BO(problem=problem, DoE_size=8, seed=5)
+    xa = bo2.suggest(batch_size=1, **kw)
+    assert bo2.pending.shape == (1, 1)
+    xb = bo2.suggest(batch_size=1, **kw)
+    X_a = np.vstack([xa, xb])
+    bo2.observe(X_a, f_of(X_a))
+
+    np.testing.assert_array_equal(X_b, X_a)
+    np.testing.assert_array_equal(bo1.X, bo2.X)
+    np.testing.assert_allclose(bo1.hv_trace, bo2.hv_trace, rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(bo1._run_key),
+                                  np.asarray(bo2._run_key))
+    assert bo1.pending.shape == bo2.pending.shape == (0, 1)
+
+
+def test_mo_bo_pending_persists_and_conditions():
+    """Outstanding pending points keep conditioning proposals: the second
+    suggest() continues the in-progress batch (fantasy front grew by the
+    first pick's believer outcome; with independent GPR surrogates the lie
+    row lands in the surrogate data too), and observe() of a subset
+    resolves exactly the matching entries."""
+    problem = get("multi_obj_1D_4")
+    kw = _fast_run_kwargs()
+    kw.pop("verbose")
+    bo = MO_BO(problem=problem, DoE_size=8, seed=2)
+    n0 = len(bo.X)
+    x1 = bo.suggest(batch_size=1, **kw)
+    assert bo._bstate is not None
+    rows0 = np.asarray(bo._bstate["model"][0].data[0]).shape[0]
+    x2 = bo.suggest(batch_size=1, **kw)
+    # continuation: same batch state, one believer row added per objective
+    assert np.asarray(bo._bstate["model"][0].data[0]).shape[0] == rows0 + 1
+    assert len(bo._bstate["F_fant"][0]) == n0 + 1
+    assert bo.pending.shape == (2, 1)
+    # resolve only the first suggestion
+    F1 = [np.reshape(problem.fun(x1[0])[i], (1,)) for i in (0, 1)]
+    bo.observe(x1, F1)
+    assert bo.pending.shape == (1, 1)
+    np.testing.assert_allclose(bo.pending, x2, atol=1e-12)
+    # the still-outstanding point conditions the next fresh proposal
+    bo.suggest(batch_size=1, **kw)
+    assert len(bo._bstate["F_fant"][0]) == len(bo.F[0]) + 1
+
+
+def test_mo_bo_pending_roundtrips_save_load():
+    problem = get("multi_obj_1D_4")
+    kw = _fast_run_kwargs()
+    kw.pop("verbose")
+    bo = MO_BO(problem=problem, DoE_size=8, seed=3)
+    x1 = bo.suggest(batch_size=2, **kw)
+    fd, path = tempfile.mkstemp(suffix=".npz")
+    os.close(fd)
+    try:
+        bo.save(path)
+        bo2 = MO_BO.load(path, problem)
+        np.testing.assert_array_equal(bo2.pending, bo.pending)
+        np.testing.assert_array_equal(bo2.pending, x1)
+        # the loaded loop conditions on both outstanding points
+        bo2.suggest(batch_size=1, **kw)
+        assert len(bo2._bstate["F_fant"][0]) == len(bo2.F[0]) + 2
+        assert bo2.pending.shape == (3, 1)
+        bo2.clear_pending()
+        assert bo2.pending.shape == (0, 1)
+    finally:
+        os.remove(path)
