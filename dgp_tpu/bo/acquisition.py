@@ -89,6 +89,8 @@ def _model_state(model):
         return "nargp", (model.params, model.train_data)
     if model.name == "mf_dgp":
         return "mf_dgp", model.params
+    if model.name == "mf_dgp_EM":
+        return "em", model.params
     if model.name == "dgp":
         return "dgp", model.params
     # fail at the dispatch boundary: an unknown wrapper's params pytree would
@@ -96,7 +98,7 @@ def _model_state(model):
     # deep inside the conditional
     raise ValueError(
         f"unsupported surrogate kind {model.name!r} for acquisition moments; "
-        "supported: gpr, ar1, nargp, mf_dgp, dgp")
+        "supported: gpr, ar1, nargp, mf_dgp, mf_dgp_EM, dgp")
 
 
 def _y_moments_pure(kind, state, x, key, num_samples):
@@ -118,6 +120,11 @@ def _y_moments_pure(kind, state, x, key, num_samples):
         from ..models import mf_dgp as mf_mod
 
         m_s, v_s = mf_mod.predict_y(state, x, key, num_samples)
+        return _moment_matched(m_s, v_s)
+    if kind == "em":
+        from ..models import mf_dgp_em as em_mod
+
+        m_s, v_s = em_mod.predict_y(state, x, key, num_samples)
         return _moment_matched(m_s, v_s)
     m_s, v_s = dgp_mod.predict_y(state, x, key, num_samples)
     return _moment_matched(m_s, v_s)
@@ -145,6 +152,12 @@ def _f_moments_pure(kind, state, x, key, num_samples):
 
         # highest-fidelity latent posterior (fidelity=None = last layer)
         m_s, v_s = mf_mod.predict_f(state, x, key, num_samples)
+        return _moment_matched(m_s, v_s)
+    if kind == "em":
+        from ..models import mf_dgp_em as em_mod
+
+        # highest-fidelity latent posterior through the reduction chain
+        m_s, v_s = em_mod.predict_f(state, x, key, num_samples)
         return _moment_matched(m_s, v_s)
     m_s, v_s = dgp_mod.predict_f(state, x, key, num_samples)
     return _moment_matched(m_s, v_s)
@@ -175,6 +188,11 @@ def _samples_pure(kind, state, x, key, num_samples):
         from ..models import mf_dgp as mf_mod
 
         Fs, _, _ = mf_mod.propagate(state, x, key, num_samples)
+        return Fs[-1]
+    if kind == "em":
+        from ..models import mf_dgp_em as em_mod
+
+        Fs, _, _ = em_mod.propagate(state, x, key, num_samples)
         return Fs[-1]
     Fs, _, _ = dgp_mod.propagate(state, x, key, num_samples)
     return Fs[-1]

@@ -173,6 +173,18 @@ class NARGP:
         self._params = value
         self._train_data = None
 
+    @property
+    def data(self):
+        return self._data
+
+    @data.setter
+    def data(self, value):
+        # the augmented train_data is a function of the data too: believer
+        # conditioning (MF_BO batch/async infill) appends fantasy rows and
+        # must see a recomputed mean chain
+        self._data = value
+        self._train_data = None
+
     def _padded(self, X, Y):
         if self.n_bucket:
             return pad_to_bucket(X, Y, self.n_bucket)

@@ -784,12 +784,12 @@ def test_so_bo_batch_dgp_believer_preserves_posterior():
 
 def test_acquisition_rejects_unknown_surrogate_kind():
     """_model_state fails at the dispatch boundary for wrappers it does not
-    support (e.g. MF-DGP-EM) instead of mis-treating their params pytree as
-    a plain DGP's."""
+    support instead of mis-treating their params pytree as a plain DGP's.
+    (MF-DGP-EM became a supported kind in round 5 — MF_BO's 'em' surrogate.)"""
     from dgp_tpu.bo.acquisition import _model_state
 
     class FakeModel:
-        name = "mf_dgp_EM"
+        name = "frobnicator"
         params = None
 
     with pytest.raises(ValueError, match="unsupported surrogate kind"):

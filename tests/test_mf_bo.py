@@ -231,3 +231,209 @@ def test_mf_bo_wb2s_with_ar1_surrogate():
     x, f = bo.suggest(IC="WB2S", popsize_DE=12, iterations_DE=10,
                       num_samples=8)
     assert x.shape == (1, 1) and 0.0 <= x.item() <= 1.0 and f in (0, 1)
+
+
+# -- batch (q-point) infill --------------------------------------------------------
+
+def test_mf_bo_batch_infill_spreads_and_accounts():
+    """batch_size=q proposes q picks per round with believer conditioning
+    between them (exact for the AR1 surrogate): the picks are pairwise
+    distinct, every pick's archive/cost bookkeeping lands, and the round
+    advances the infill counter once."""
+    spec = {"type": "ar1", "n_starts": 3, "iterations": 150}
+    bo = MF_BO(fidelities=[forrester_low, forrester_high], DoE_sizes=(6, 3),
+               d=1, model_dic=spec, seed=0)
+    n0 = [len(x) for x in bo.X]
+    bo.run(1, batch_size=3, popsize_DE=20, iterations_DE=20, num_samples=15,
+           verbose=False)
+    assert bo._iteration == 1
+    assert len(bo.fidelity_choices) == 3
+    assert sum(len(bo.X[f]) - n0[f] for f in range(2)) == 3
+    assert bo.cost_spent == pytest.approx(
+        sum(bo.costs[f] for f in bo.fidelity_choices))
+    new_rows = np.vstack([bo.X[0][n0[0]:], bo.X[1][n0[1]:]])
+    d01 = np.abs(new_rows[:, None, 0] - new_rows[None, :, 0])
+    iu = np.triu_indices(3, k=1)
+    assert np.min(d01[iu]) > 1e-4
+
+
+def test_mf_bo_batch_lies_never_reach_archive():
+    """Fantasy rows condition only the in-batch surrogate copy; the real
+    archives hold exactly the evaluated points."""
+    spec = {"type": "ar1", "n_starts": 2, "iterations": 100}
+    bo = MF_BO(fidelities=[forrester_low, forrester_high], DoE_sizes=(6, 3),
+               d=1, model_dic=spec, seed=1)
+    bo.run(1, batch_size=2, popsize_DE=15, iterations_DE=15, num_samples=10,
+           verbose=False)
+    for f in range(2):
+        for i in range(len(bo.X[f])):
+            want = np.asarray(
+                [forrester_low, forrester_high][f](bo.X[f][i:i + 1]),
+                dtype=float).reshape(1, 1)
+            np.testing.assert_allclose(bo.Y[f][i:i + 1], want, atol=1e-10)
+
+
+# -- pending registry (asynchronous ask/tell) --------------------------------------
+
+def test_mf_bo_async_suggests_match_batch_infill():
+    """suggest(1); suggest(1); observe(both) reproduces the batch_size=2
+    trajectory exactly (same surrogate state, same key stream)."""
+    spec = {"type": "ar1", "n_starts": 2, "iterations": 100}
+    kw = dict(popsize_DE=15, iterations_DE=15, num_samples=10)
+
+    def evaluate(X, fids):
+        return np.vstack([
+            np.asarray([forrester_low, forrester_high][f](X[i:i + 1]),
+                       dtype=float).reshape(1, 1)
+            for i, f in enumerate(fids)])
+
+    bo1 = MF_BO(fidelities=[forrester_low, forrester_high], DoE_sizes=(6, 3),
+                d=1, model_dic=spec, seed=7)
+    Xb, fb = bo1.suggest(batch_size=2, **kw)
+    bo1.observe(Xb, evaluate(Xb, fb), fb)
+
+    bo2 = MF_BO(fidelities=[forrester_low, forrester_high], DoE_sizes=(6, 3),
+                d=1, model_dic=spec, seed=7)
+    xa, fa = bo2.suggest(batch_size=1, **kw)
+    assert bo2.pending_X.shape == (1, 1)
+    xc, fc = bo2.suggest(batch_size=1, **kw)
+    Xa = np.vstack([xa, xc])
+    fids = [fa, fc]
+    bo2.observe(Xa, evaluate(Xa, fids), fids)
+
+    np.testing.assert_array_equal(Xb, Xa)
+    assert list(fb) == fids
+    assert all(np.array_equal(a, b) for a, b in zip(bo1.X, bo2.X))
+    np.testing.assert_array_equal(np.asarray(bo1._run_key),
+                                  np.asarray(bo2._run_key))
+    assert bo1.pending_X.shape == bo2.pending_X.shape == (0, 1)
+    assert bo1._iteration == bo2._iteration == 1
+
+
+def test_mf_bo_pending_roundtrips_save_load():
+    spec = {"type": "ar1", "n_starts": 2, "iterations": 100}
+    kw = dict(popsize_DE=15, iterations_DE=15, num_samples=10)
+    bo = MF_BO(fidelities=[forrester_low, forrester_high], DoE_sizes=(6, 3),
+               d=1, model_dic=spec, seed=4)
+    x1, f1 = bo.suggest(**kw)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "mf_pending.npz")
+        bo.save(path)
+        bo2 = MF_BO.load(path, [forrester_low, forrester_high])
+        np.testing.assert_array_equal(bo2.pending_X, bo.pending_X)
+        np.testing.assert_array_equal(bo2.pending_f, bo.pending_f)
+        np.testing.assert_array_equal(bo2.pending_X, x1)
+        # the loaded loop conditions on the outstanding lie: the in-batch
+        # surrogate data grew by one row at the pending fidelity
+        bo2.suggest(**kw)
+        Xs, _ = bo2._bstate["model"].data
+        assert Xs[int(f1)].shape[0] == len(bo2.X[int(f1)]) + 1
+        assert bo2.pending_X.shape == (2, 1)
+        bo2.clear_pending()
+        assert bo2.pending_X.shape == (0, 1)
+
+
+# -- constrained MF-BO -------------------------------------------------------------
+
+def _ring_con(x):
+    """Feasible iff x >= 0.55 (keeps the Forrester optimum x*=0.757)."""
+    return 0.55 - np.asarray(x)[:, 0]
+
+
+def test_mf_bo_constrained_loop():
+    """Constrained MF-BO: EV and PoF handling both run end-to-end, the
+    best trace tracks only FEASIBLE top-fidelity values, and constraint
+    archives stay aligned with the per-fidelity X archives."""
+    for handling in ("EV", "PoF"):
+        bo = MF_BO(fidelities=[forrester_low, forrester_high],
+                   DoE_sizes=(8, 4), d=1,
+                   model_dic={"type": "ar1", "n_starts": 2,
+                              "iterations": 100},
+                   constraints=[_ring_con], seed=0)
+        assert bo.n_con == 1
+        for f in range(2):
+            assert bo.C[f].shape == (len(bo.X[f]), 1)
+        trace = bo.run(2, constraint_handling=handling, popsize_DE=20,
+                       iterations_DE=20, num_samples=10, verbose=False)
+        assert all(b <= a + 1e-12 for a, b in zip(trace, trace[1:]))
+        # every recorded best is a feasible top-fidelity value (or the
+        # bootstrap max while none is feasible)
+        feas = bo.C[-1].max(axis=1) <= 0
+        if feas.any():
+            assert trace[-1] == pytest.approx(float(bo.Y[-1][feas].min()))
+        for f in range(2):
+            assert bo.C[f].shape == (len(bo.X[f]), 1)
+
+
+def test_mf_bo_constrained_save_load():
+    bo = MF_BO(fidelities=[forrester_low, forrester_high], DoE_sizes=(6, 3),
+               d=1, model_dic={"type": "ar1", "n_starts": 2,
+                               "iterations": 80},
+               constraints=[_ring_con], seed=2)
+    bo.run(1, popsize_DE=12, iterations_DE=10, num_samples=8, verbose=False)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "mf_con.npz")
+        bo.save(path)
+        bo2 = MF_BO.load(path, [forrester_low, forrester_high],
+                         constraints=[_ring_con])
+        assert all(np.allclose(a, b) for a, b in zip(bo2.C, bo.C))
+        assert bo2.best_trace == bo.best_trace
+
+
+# -- embedded-mapping (variant-dimension) surrogate --------------------------------
+
+def _park_vd_low(x2d):
+    """2-D low-fidelity source (Park-like, unit box)."""
+    x = np.asarray(x2d, dtype=float)
+    return (np.sin(3.0 * x[:, :1]) + 0.5 * x[:, 1:2]).reshape(-1, 1)
+
+
+def _park_vd_high(x4d):
+    """4-D high-fidelity source whose first two dims follow the low one."""
+    x = np.asarray(x4d, dtype=float)
+    return (np.sin(3.0 * x[:, :1]) + 0.5 * x[:, 1:2]
+            + 0.25 * x[:, 2:3] * x[:, 3:4]).reshape(-1, 1)
+
+
+def test_mf_bo_em_surrogate_variant_dims():
+    """{'type': 'em'} wires models/mf_dgp_em.py in for fidelity stacks
+    with DIFFERENT input dimensions (reference MF_DGP_EM.py:383): the
+    acquisition runs on the top-fidelity posterior through the reduction
+    chain, low fidelities are queried through the projection."""
+    rng = np.random.default_rng(0)
+    X_low = rng.uniform(0, 1, (10, 2))
+    X_high = rng.uniform(0, 1, (5, 4))
+    proj = lambda x: np.asarray(x)[:, :2]
+    bo = MF_BO(fidelities=[_park_vd_low, _park_vd_high],
+               X=[X_low, X_high],
+               Y=[_park_vd_low(X_low), _park_vd_high(X_high)],
+               model_dic={"type": "em", "num_samples": 3,
+                          "schedule": (15, 5, 10)},
+               projections=[proj], seed=0, gamma=0.05)
+    assert bo.d == 4
+    n0 = [len(x) for x in bo.X]
+    trace = bo.run(2, popsize_DE=12, iterations_DE=10, num_samples=8,
+                   verbose=False)
+    assert len(trace) == 3 and len(bo.fidelity_choices) == 2
+    for f, dim in ((0, 2), (1, 4)):
+        assert bo.X[f].shape[1] == dim
+        assert len(bo.X[f]) == n0[f] + bo.fidelity_choices.count(f)
+    assert all(np.isfinite(v) for v in trace)
+
+
+def test_mf_bo_em_validation():
+    with pytest.raises(ValueError, match="'em'"):
+        # variant dims without the em surrogate
+        MF_BO(fidelities=[_park_vd_low, _park_vd_high],
+              X=[np.random.uniform(0, 1, (6, 2)),
+                 np.random.uniform(0, 1, (3, 4))],
+              Y=[np.zeros((6, 1)), np.zeros((3, 1))],
+              model_dic={"type": "ar1"}, seed=0)
+    with pytest.raises(ValueError, match="constraints"):
+        MF_BO(fidelities=[_park_vd_low, _park_vd_high],
+              X=[np.random.uniform(0, 1, (6, 2)),
+                 np.random.uniform(0, 1, (3, 4))],
+              Y=[np.zeros((6, 1)), np.zeros((3, 1))],
+              model_dic={"type": "em"},
+              constraints=[lambda x: -np.ones(len(x))],
+              projections=[lambda x: np.asarray(x)[:, :2]], seed=0)
