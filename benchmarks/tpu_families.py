@@ -6,7 +6,8 @@ accelerator with its published (or mildly shortened, flagged) schedule and
 records wall time, loss-trace endpoints and fit metrics. Prints one JSON line
 per family and writes benchmarks/tpu_families_results.json.
 
-Usage: python benchmarks/tpu_families.py [--fast] [--family mf|em|mo]
+Usage: python benchmarks/tpu_families.py [--fast]
+       [--family dgp|mf|em|mo|mo_auto|cls]
 """
 
 from __future__ import annotations
@@ -176,8 +177,97 @@ def run_mo(fast):
             1 - float(np.sum((m - Yt) ** 2) / np.sum((Yt - Yt.mean()) ** 2)), 4)
     return {"family": "MO-DGP (multi_obj_1D_4, n=10)", "wall_s": round(wall, 1),
             "schedule": "200/0/0" if fast else "200/300/800",
+            "restarts": "1 (pinned single-trajectory record; the shipped "
+                        "default is 'auto' — see the mo_auto row)",
             **_trace_stats(losses), **r2s,
             "published": "initial ELBO ~-1.7e8 at the notebook seed (f64 CPU)"}
+
+
+def run_mo_auto(fast):
+    """The MO row at the SHIPPING default restarts='auto' (bad-basin
+    fit-scored escalation, models/mo_dgp.py) — what a default user gets,
+    vs run_mo's pinned restarts=1 single-trajectory record (VERDICT r4
+    weak #4: the table showed a number the default path would not ship)."""
+    from dgp_tpu.bo.doe import lhs
+    from dgp_tpu.bo.problems import multi_obj_1D_4
+    from dgp_tpu.models.dgp import moment_matched
+    from dgp_tpu.models.mo_dgp import MultiObjDeepGP
+
+    problem = multi_obj_1D_4()
+    n = 10 * problem.dim
+    X_ = lhs(problem.dim, n, seed=0)
+    F = np.asarray([problem.fun(x) for x in X_], dtype=float).reshape(n, 2)
+    X = (X_ - X_.mean(0)) / X_.std(0)
+    Y0 = (F[:, :1] - F[:, :1].mean(0)) / F[:, :1].std(0)
+    Y1 = (F[:, 1:2] - F[:, 1:2].mean(0)) / F[:, 1:2].std(0)
+    model = MultiObjDeepGP([X, X.copy()], [Y0, Y1], loop=2, num_samples=10)
+    t0 = time.perf_counter()
+    its = (200, 0, 0) if fast else (200, 300, 800)
+    losses = model.optimize_nat_adam(iterations1=its[0], iterations2=its[1],
+                                     iterations3=its[2], messages=0,
+                                     restarts="auto")
+    wall = time.perf_counter() - t0
+    r2s = {}
+    for obj, Yt in ((0, Y0), (1, Y1)):
+        Fm, Fv = model.predict_f(X, S=200, objective=obj)
+        m, _ = moment_matched(Fm, Fv)
+        m = np.asarray(m)
+        r2s[f"train_r2_obj{obj}"] = round(
+            1 - float(np.sum((m - Yt) ** 2) / np.sum((Yt - Yt.mean()) ** 2)), 4)
+    return {"family": "MO-DGP (multi_obj_1D_4, n=10, restarts=auto default)",
+            "wall_s": round(wall, 1),
+            "schedule": "200/0/0" if fast else "200/300/800",
+            "restarts": "auto (shipping default)",
+            **_trace_stats(losses), **r2s,
+            "published": "mo_seeds full-schedule auto: all seeds r2 >= 0.957"}
+
+
+def run_cls(fast):
+    """Bernoulli-DGP binary classification on-chip (the non-Gaussian
+    likelihood evidence run — compat/validate_classification.py is the
+    CPU-f64 twin with the asserted oracles)."""
+    from dgp_tpu.layers.initializations import init_layers_linear
+    from dgp_tpu.models.dgp import DGP
+    from dgp_tpu.ops import kernels as K
+    from dgp_tpu.ops.likelihoods import Bernoulli
+
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0.0, 1.0, size=(120, 2))
+    logits = np.sin(6.0 * X[:, :1]) + 2.0 * (X[:, 1:] - 0.5)
+    Y = (logits + 0.1 * rng.normal(size=logits.shape) > 0).astype(float)
+    rng_t = np.random.default_rng(1)
+    Xt = rng_t.uniform(0.0, 1.0, size=(200, 2))
+    lt = np.sin(6.0 * Xt[:, :1]) + 2.0 * (Xt[:, 1:] - 0.5)
+    Yt = (lt + 0.1 * rng_t.normal(size=lt.shape) > 0).astype(float)
+
+    Z = X[::4].copy()
+    kernels = [K.RBF.create(variance=1.0, lengthscales=[0.5, 0.5])
+               for _ in range(2)]
+    layers = init_layers_linear(X, Y, Z, kernels, [2])
+    model = DGP.from_layers(X, Y, layers, likelihood=Bernoulli(),
+                            num_samples=5, seed=0)
+    t0 = time.perf_counter()
+    losses = model.optimize_adam(iterations=500 if fast else 800, lr=0.02,
+                                 messages=0)
+    wall = time.perf_counter() - t0
+
+    def _score(Xs, Ys):
+        p, _ = model.predict(Xs, 100)
+        acc = float(np.mean((np.asarray(p) > 0.5) == (np.asarray(Ys) > 0.5)))
+        logd = float(np.asarray(model.predict_density(Xs, Ys, 100)).mean())
+        return acc, logd
+
+    acc_tr, logd_tr = _score(X, Y)
+    acc_te, logd_te = _score(Xt, Yt)
+    return {"family": "Bernoulli-DGP classification (2-D bands, n=120)",
+            "wall_s": round(wall, 1),
+            "schedule": "adam 500" if fast else "adam 800",
+            **_trace_stats(losses),
+            "train_acc": round(acc_tr, 4), "test_acc": round(acc_te, 4),
+            "train_logdens": round(logd_tr, 4),
+            "test_logdens": round(logd_te, 4),
+            "published": "no reference counterpart (regression-only); CPU "
+                         "f64 oracle: train 0.883 / test 0.860"}
 
 
 def main():
@@ -185,7 +275,8 @@ def main():
     fam = None
     if "--family" in sys.argv:
         fam = sys.argv[sys.argv.index("--family") + 1]
-    runners = {"dgp": run_dgp, "mf": run_mf, "em": run_em, "mo": run_mo}
+    runners = {"dgp": run_dgp, "mf": run_mf, "em": run_em, "mo": run_mo,
+               "mo_auto": run_mo_auto, "cls": run_cls}
     results = []
     if os.path.exists(RESULTS):
         with open(RESULTS) as f:

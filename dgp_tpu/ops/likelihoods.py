@@ -111,8 +111,14 @@ class Bernoulli(QuadratureLikelihood):
         return jnp.clip(_norm.cdf(F), 1e-9, 1 - 1e-9)
 
     def log_prob(self, F, Y):
-        p = self._p(F)
-        return Y * jnp.log(p) + (1 - Y) * jnp.log1p(-p)
+        # Stable probit log-likelihood via log_ndtr. The clipped-cdf form
+        # (Y log p + (1-Y) log1p(-p)) NaNs in float32: 1 - 1e-9 rounds to
+        # exactly 1.0 (f32 eps ~1.2e-7), so log1p(-p) hits -inf wherever
+        # cdf(F) rounds to 1 and 0 * -inf poisons the whole ELBO — this is
+        # what broke the first on-chip classification evidence run.
+        from jax.scipy.stats import norm as _norm
+
+        return Y * _norm.logcdf(F) + (1 - Y) * _norm.logcdf(-F)
 
     def conditional_mean(self, F):
         return self._p(F)

@@ -130,3 +130,30 @@ def test_student_t_dgp_robust_regression_end_to_end():
     rmse_g = fit(Gaussian.create(0.1))
     assert rmse_t < rmse_g, (rmse_t, rmse_g)
     assert rmse_t < 0.42, rmse_t
+
+
+def test_bernoulli_log_prob_finite_in_float32():
+    """f32 regression (round 5): the clipped-cdf probit log-likelihood
+    NaN'd on TPU because 1 - 1e-9 rounds to exactly 1.0 in float32, making
+    log1p(-p) = -inf wherever cdf(F) saturates and 0 * -inf = NaN poison
+    the ELBO (the first on-chip classification run recorded 800/800
+    non-finite steps). The stable log_ndtr form must stay finite for
+    saturating logits in BOTH dtypes and keep gradients finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from dgp_tpu.ops.likelihoods import Bernoulli
+
+    lik = Bernoulli()
+    for dtype in (jnp.float32, jnp.float64):
+        F = jnp.asarray([-40.0, -8.0, 0.0, 8.0, 40.0], dtype=dtype)
+        for y in (0.0, 1.0):
+            Y = jnp.full_like(F, y)
+            lp = lik.log_prob(F, Y)
+            assert bool(jnp.isfinite(lp).all()), (dtype, y, lp)
+            g = jax.grad(lambda f: lik.log_prob(f, Y).sum())(F)
+            assert bool(jnp.isfinite(g).all()), (dtype, y, g)
+        # variational expectations with saturating means stay finite too
+        ve = lik.variational_expectations(F, jnp.ones_like(F),
+                                         jnp.ones_like(F))
+        assert bool(jnp.isfinite(ve).all())
