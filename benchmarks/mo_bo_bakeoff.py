@@ -48,6 +48,12 @@ CONFIGS = {
     "indep_dgp": {"type": "independent", "num_layers": 1, "num_units": 1,
                   "kernels": "rbf", "num_samples": 5,
                   "schedule": (500, 1000, 0)},
+    # the old implicit DGP-pair default (the coupled surrogate's fast
+    # schedule, never measured for pairs before round 5) — kept as a column
+    # so the shipped (500, 1000) default is justified by a measured delta
+    "indep_dgp_fast": {"type": "independent", "num_layers": 1,
+                       "num_units": 1, "kernels": "rbf", "num_samples": 5,
+                       "schedule": (100, 0, 0)},
 }
 
 PROBLEMS = ["multi_obj_1D_4", "multi_obj_1D_2", "kursawe"]
