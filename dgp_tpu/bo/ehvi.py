@@ -456,3 +456,132 @@ def optimize_EHVI(model, YND, popsize_DE=300, popstd_DE=1.5, iterations_DE=400,
         iterations_adam=iterations_adam, lr_adam=lr_adam, method=method,
         key=k_de)
     return x_opt
+
+
+# -- m-objective utilities (beyond the reference's bi-objective stack) -----------
+#
+# The reference's EHVI machinery is intrinsically bi-objective: HV_calcul
+# walks a 2-D staircase (EHVI.py:8-33) and the exact EHVI sums psi terms
+# over consecutive front segments (EHVI.py:150-157). The acquisition
+# OPTIMIZATION path above keeps that scope (PARITY.md scope note). The
+# utilities below lift the analysis side to any m >= 2: generic
+# non-dominated filtering, WFG hypervolume, and a Monte-Carlo EHVI
+# evaluator for scoring candidates under independent per-objective
+# surrogates — enough to measure m>=3 fronts; a jitted m>=3 acquisition
+# optimizer (box-decomposition EHVI) remains future work.
+
+
+def pareto_mask(F):
+    """Boolean non-dominated mask for minimization.
+
+    :param F: [n, m] objective rows.
+    :return: [n] bool — True where no other row weakly dominates with at
+        least one strict improvement. O(n^2 m), n is front-archive scale.
+    """
+    F = np.asarray(F, dtype=float)
+    n = len(F)
+    mask = np.ones(n, dtype=bool)
+    for i in range(n):
+        if not mask[i]:
+            continue
+        dominates_i = np.all(F <= F[i], axis=1) & np.any(F < F[i], axis=1)
+        if dominates_i.any():
+            mask[i] = False
+    return mask
+
+
+def hypervolume(F, ref):
+    """Exact hypervolume (minimization) of the region dominated by ``F``
+    and bounded above by ``ref`` — the WFG exclusive-volume recursion
+    (While et al. 2012), any m >= 1. Points not strictly below ``ref``
+    contribute nothing.
+
+    :param F: [n, m] objective rows (need not be mutually non-dominated).
+    :param ref: [m] reference (upper) corner.
+    """
+    F = np.asarray(F, dtype=float).reshape(-1, len(np.ravel(ref)))
+    ref = np.asarray(ref, dtype=float).ravel()
+    F = F[np.all(F < ref, axis=1)]
+    if not len(F):
+        return 0.0
+    F = F[pareto_mask(F)]
+    # sort by first objective: limits the exclusive sets in the recursion
+    F = F[np.argsort(F[:, 0])]
+
+    def _wfg(front):
+        total = 0.0
+        for i in range(len(front)):
+            p = front[i]
+            box = float(np.prod(ref - p))
+            if i + 1 < len(front):
+                # points that could overlap p's box, clipped to it
+                clipped = np.maximum(front[i + 1:], p)
+                clipped = clipped[np.all(clipped < ref, axis=1)]
+                if len(clipped):
+                    clipped = clipped[pareto_mask(clipped)]
+                    box -= _wfg(clipped)
+            total += box
+        return total
+
+    return float(_wfg(F))
+
+
+def ehvi_mc(model, F_nd, ref, Xcand, key=None, S=200):
+    """Monte-Carlo EHVI for any number of objectives m >= 2 (minimization):
+    E[ HV(F_nd ∪ {Y(x)}) - HV(F_nd) ] with Y(x) sampled from the
+    surrogates' posteriors. Host-side evaluator (numpy WFG per sample) for
+    scoring candidate sets and validating the jitted bi-objective
+    estimators — NOT wired into the DE engines.
+
+    :param model: list of m independent per-objective surrogates (each with
+        the ``predict_f``/sample contract of so_bo.make_single_model).
+    :param F_nd: [k, m] current non-dominated front (objective units of the
+        surrogates' training targets).
+    :param ref: [m] reference corner (e.g. the nadir of the HV box).
+    :param Xcand: [n, d] candidate inputs.
+    :return: [n] MC-estimated EHVI values.
+    """
+    import jax
+
+    from ..models.dgp import moment_matched
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    F_nd = np.asarray(F_nd, dtype=float)
+    ref = np.asarray(ref, dtype=float).ravel()
+    m = len(ref)
+    if len(model) != m:
+        raise ValueError("one surrogate per objective")
+    Xcand = np.asarray(Xcand, dtype=float)
+    n = len(Xcand)
+
+    # per-objective posterior moments -> independent Gaussian samples
+    means, sds = [], []
+    for j, mj in enumerate(model):
+        if mj.name == "gpr":
+            mu, var = mj.predict_f(Xcand)
+            mu, var = np.asarray(mu), np.asarray(var)
+        else:
+            m_s, v_s = mj.predict_f(Xcand, S=max(S, 64))
+            mu, var = moment_matched(np.asarray(m_s), np.asarray(v_s))
+            mu, var = np.asarray(mu), np.asarray(var)
+        means.append(mu.reshape(n))
+        sds.append(np.sqrt(np.maximum(var.reshape(n), 1e-12)))
+    means = np.stack(means, axis=1)  # [n, m]
+    sds = np.stack(sds, axis=1)
+
+    rng = np.random.default_rng(int(np.asarray(
+        jax.random.randint(key, (), 0, 2**31 - 1))))
+    z = rng.standard_normal((S, n, m))
+    samples = means[None] + sds[None] * z  # [S, n, m]
+
+    hv_base = hypervolume(F_nd, ref)
+    out = np.zeros(n)
+    for i in range(n):
+        gain = 0.0
+        for s in range(S):
+            y = samples[s, i]
+            if np.all(y < ref):
+                gain += hypervolume(np.vstack([F_nd, y[None]]),
+                                    ref) - hv_base
+        out[i] = gain / S
+    return out

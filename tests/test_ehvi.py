@@ -259,3 +259,115 @@ def test_pad_front_ehvi_invariant(monkeypatch):
                                         approximation=approx, S=S)))
         np.testing.assert_allclose(vals[1], vals[0], rtol=1e-6, atol=1e-9,
                                    err_msg=approx)
+
+
+# -- m-objective utilities (round 5) -----------------------------------------------
+
+def test_pareto_mask_matches_ndc_2d():
+    """pareto_mask agrees with the reference-semantics feasibility-filtered
+    non-dominated sort (all-feasible case) for 2 objectives."""
+    from dgp_tpu.bo.ehvi import NDC, pareto_mask
+
+    rng = np.random.default_rng(0)
+    F = rng.normal(size=(30, 2))
+    nd = NDC([F[:, :1], F[:, 1:]], -np.ones((30, 1)))
+    mask = pareto_mask(F)
+    assert set(nd) == set(np.flatnonzero(mask))
+
+
+def test_hypervolume_matches_monte_carlo():
+    """Exact WFG hypervolume vs brute-force MC volume of the dominated
+    region, for m = 2, 3, 4."""
+    from dgp_tpu.bo.ehvi import hypervolume
+
+    rng = np.random.default_rng(1)
+    for m in (2, 3, 4):
+        F = rng.uniform(0.0, 1.0, size=(8, m))
+        ref = np.full(m, 1.2)
+        hv = hypervolume(F, ref)
+        # MC estimate over the [min(F), ref] box
+        lo = F.min(axis=0)
+        pts = rng.uniform(lo, ref, size=(200_000, m))
+        dom = np.zeros(len(pts), dtype=bool)
+        for y in F:
+            dom |= np.all(pts >= y, axis=1)
+        mc = float(dom.mean() * np.prod(ref - lo))
+        assert hv == pytest.approx(mc, rel=0.03), (m, hv, mc)
+
+
+def test_hypervolume_degenerate_cases():
+    from dgp_tpu.bo.ehvi import hypervolume
+
+    ref = np.array([1.0, 1.0, 1.0])
+    # empty / fully-outside fronts contribute nothing
+    assert hypervolume(np.zeros((0, 3)), ref) == 0.0
+    assert hypervolume(np.array([[2.0, 0.0, 0.0]]), ref) == 0.0
+    # single dominating point = its box volume
+    assert hypervolume(np.array([[0.5, 0.5, 0.5]]), ref) == pytest.approx(
+        0.125)
+    # duplicated points add nothing
+    F = np.array([[0.5, 0.5, 0.5], [0.5, 0.5, 0.5]])
+    assert hypervolume(F, ref) == pytest.approx(0.125)
+
+
+def test_ehvi_mc_matches_exact_bi_objective():
+    """The m-objective MC evaluator agrees with the jitted exact 2-D EHVI
+    on a GPR pair (same front, same reference corner), to MC tolerance."""
+    import jax
+
+    from dgp_tpu.bo.ehvi import EHVI, ehvi_mc, pareto_mask
+    from dgp_tpu.bo.so_bo import make_single_model
+
+    rng = np.random.default_rng(2)
+    X = rng.uniform(0, 1, (12, 1))
+    F0 = np.sin(3 * X)
+    F1 = np.cos(2 * X)
+    spec = {"num_layers": 0, "kernels": "rbf"}
+    pair = [make_single_model(spec, X, F0), make_single_model(spec, X, F1)]
+    for m in pair:
+        m.optimize_adam(iterations=300, lr=0.01)
+
+    F = np.hstack([F0, F1])
+    nd = pareto_mask(F)
+    F_nd = F[nd]
+    nadir = (float(F0.max()) + 0.5, float(F1.max()) + 0.5)
+    ideal = (float(F0.min()) - 0.5, float(F1.min()) - 0.5)
+    # the module's own descending padded-front construction
+    from dgp_tpu.bo.ehvi import NDC, Y_ND
+
+    NDT = NDC([F0, F1], -np.ones((len(F0), 1)), obj1_ascending=False)
+    YND = Y_ND([F0, F1], NDT, nadir=nadir, ideal=ideal)
+    Xcand = np.asarray([[0.2], [0.8]])
+    exact = np.asarray(EHVI(pair, Xcand, YND,
+                            key=jax.random.PRNGKey(0))).ravel()
+    mc = ehvi_mc(pair, F_nd, np.asarray(nadir), Xcand,
+                 key=jax.random.PRNGKey(1), S=3000)
+    for a, b in zip(exact, mc):
+        assert b == pytest.approx(a, rel=0.15, abs=5e-4), (exact, mc)
+
+
+def test_ehvi_mc_three_objectives_sane():
+    """m=3: EHVI is nonnegative, higher for a candidate predicted to land
+    in unexplored objective space than for one on the crowded front."""
+    import jax
+
+    from dgp_tpu.bo.ehvi import ehvi_mc, pareto_mask
+    from dgp_tpu.bo.so_bo import make_single_model
+
+    rng = np.random.default_rng(3)
+    X = rng.uniform(0, 1, (15, 2))
+    cols = [np.sin(3 * X[:, :1]), np.cos(2 * X[:, 1:]),
+            (X[:, :1] - 0.5) ** 2]
+    spec = {"num_layers": 0, "kernels": "rbf"}
+    models = [make_single_model(spec, X, c) for c in cols]
+    for m in models:
+        m.optimize_adam(iterations=200, lr=0.01)
+    F = np.hstack(cols)
+    F_nd = F[pareto_mask(F)]
+    ref = F.max(axis=0) + 0.5
+    Xcand = rng.uniform(0, 1, (4, 2))
+    vals = ehvi_mc(models, F_nd, ref, Xcand, key=jax.random.PRNGKey(0),
+                   S=500)
+    assert vals.shape == (4,)
+    assert np.all(vals >= -1e-12)
+    assert np.any(vals > 0)
