@@ -59,9 +59,10 @@ class MO_BO:
         defaults to the bad-basin auto escalation
         (MultiObjDeepGP.optimize_nat_adam). ``{'type': 'independent',
         'num_layers': L, ...}`` builds per-objective GPR (L=0) or DGP
-        (L>=1) pairs via so_bo.make_single_model; DGP pairs default to the
-        measured (500, 1000) Adam->NatGrad schedule (the bake-off's
-        indep_dgp column), not the coupled surrogate's fast loop.
+        (L>=1) pairs via so_bo.make_single_model; the DGP-pair (100, 0)
+        schedule default is measured (bake-off indep_dgp_fast column:
+        neither it nor (500, 1000) dominates on the seed-chaotic tiny-n
+        landscape, and fast is ~3x cheaper).
     :param X, F: optional known DoE — X [n, d] and F a list of two [n, 1]
         objective columns; otherwise an LHS DoE of ``DoE_size`` points is
         generated and evaluated.
@@ -412,19 +413,14 @@ class MO_BO:
         — but never in self.F/self.C). The stats are FROZEN for the whole
         batch: the surrogate was trained under them, and fantasy rows must
         not shift them (nb_modgp cell 26 workflow)."""
-        if "schedule" in self.model_dic:
-            sched = self.model_dic["schedule"]
-        elif (self.model_dic.get("type") == "independent"
-              and int(self.model_dic.get("num_layers", 0)) >= 1):
-            # measured default for independent DGP pairs: the bake-off's
-            # indep_dgp column ran (500, 1000) Adam->NatGrad
-            # (benchmarks/mo_bo_bakeoff.json) and beat the coupled fast
-            # schedule on hv_gain in 8/9 cells; the coupled-surrogate
-            # (100, 0, 0) fast default was never measured for DGP pairs
-            # (VERDICT r4 weak #5) and undertrains them
-            sched = (500, 1000, 0)
-        else:
-            sched = (100, 0, 0)
+        # (100, 0, 0) is the measured default for DGP pairs too (round 5,
+        # benchmarks/mo_bo_bakeoff.json indep_dgp_fast vs indep_dgp): at
+        # these tiny-n archives the pair training is seed-chaotic and
+        # NEITHER schedule dominates — the fast (100, 0) column wins 5/9
+        # cells (incl. both kursawe jackpots, hv_gain 185 vs 17) at ~3x
+        # less wall than (500, 1000); both are far below the shipped
+        # indep-GPR default, which is why DGP pairs are opt-in at all.
+        sched = self.model_dic.get("schedule", (100, 0, 0))
         # "auto" = run once, escalate to best-of-k only on a measured bad
         # basin (models/mo_dgp.py optimize_nat_adam)
         restarts = self.model_dic.get("restarts", "auto")
