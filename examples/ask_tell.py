@@ -65,6 +65,22 @@ def main():
     assert np.all(np.diff(bo.Ymin) <= 1e-12)
     print("final best:", float(bo.Ymin[-1]))
 
+    # -- genuinely asynchronous asking (round 5) ------------------------------
+    # Suggested points persist in bo.pending as believer lies until
+    # observe() resolves them, so a lab can keep asking while evaluations
+    # are still in flight — consecutive suggest() calls propose different
+    # points, and a partial observe keeps the rest conditioning.
+    kw = dict(IC="EI", train_iterations=300, popsize_DE=40,
+              iterations_DE=60, IC_method="DE")
+    xa = bo.suggest(batch_size=1, **kw)   # job A submitted...
+    xb = bo.suggest(batch_size=1, **kw)   # ...ask again before A returns
+    print("in-flight proposals:", bo.pending.shape[0])  # 2
+    bo.observe(xb, external_simulator(xb))  # B finished first
+    print("still pending:", bo.pending.shape[0])        # 1 (job A)
+    bo.observe(xa, external_simulator(xa))
+    assert bo.pending.shape[0] == 0
+    print("async best:", float(bo.Ymin[-1]))
+
 
 if __name__ == "__main__":
     main()

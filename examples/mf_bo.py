@@ -65,5 +65,49 @@ def main(infills=6):
     print("save/load round-trip OK")
 
 
+def constrained_demo(infills=3):
+    """Round 5: constrained MF-BO — constraints live in the top-fidelity
+    input space, get their own exact-GPR surrogates on the pooled archive,
+    and the best trace tracks only FEASIBLE top-fidelity values."""
+
+    def g(x):  # feasible iff x >= 0.55 (keeps the optimum x*=0.757)
+        return 0.55 - np.asarray(x)[:, 0]
+
+    bo = MF_BO(fidelities=[forrester_low, forrester_high],
+               DoE_sizes=(8, 4), d=1, constraints=[g], seed=0)
+    trace = bo.run(infills, constraint_handling="PoF", popsize_DE=40,
+                   iterations_DE=40, num_samples=50, verbose=True)
+    print(f"constrained best (feasible, high fidelity): {trace[-1]:.4f}")
+
+
+def variant_dims_demo(infills=2):
+    """Round 5: the embedded-mapping ('em') surrogate makes fidelity
+    stacks with DIFFERENT input dimensions BO-drivable — here a 2-D cheap
+    source under a 4-D expensive one, joined by a coordinate projection."""
+
+    def low2d(x):
+        x = np.asarray(x, dtype=float)
+        return (np.sin(3.0 * x[:, :1]) + 0.5 * x[:, 1:2]).reshape(-1, 1)
+
+    def high4d(x):
+        x = np.asarray(x, dtype=float)
+        return (np.sin(3.0 * x[:, :1]) + 0.5 * x[:, 1:2]
+                + 0.25 * x[:, 2:3] * x[:, 3:4]).reshape(-1, 1)
+
+    rng = np.random.default_rng(0)
+    X = [rng.uniform(0, 1, (10, 2)), rng.uniform(0, 1, (5, 4))]
+    bo = MF_BO(fidelities=[low2d, high4d], X=X,
+               Y=[low2d(X[0]), high4d(X[1])],
+               model_dic={"type": "em", "num_samples": 3,
+                          "schedule": (50, 20, 50)},
+               projections=[lambda x: np.asarray(x)[:, :2]],
+               seed=0, gamma=0.05)
+    trace = bo.run(infills, popsize_DE=30, iterations_DE=30, num_samples=20,
+                   verbose=True)
+    print(f"variant-dims best (4-D high fidelity): {trace[-1]:.4f}")
+
+
 if __name__ == "__main__":
     main()
+    constrained_demo()
+    variant_dims_demo()
