@@ -73,7 +73,7 @@ def run_seed(seed, fast=False):
                model_dic={"type": "em", "num_samples": 3,
                           "schedule": sched},
                projections=[lambda x: np.asarray(x)[:, :2]],
-               seed=seed, gamma=0.1)
+               seed=seed, gamma=0.3, dup_tol=5e-3)
     t0 = time.perf_counter()
     trace = bo.run(infills, popsize_DE=20 if fast else 120,
                    iterations_DE=20 if fast else 150,

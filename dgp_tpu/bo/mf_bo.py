@@ -106,6 +106,9 @@ class MF_BO:
         Not supported together with variant-dimension ('em') stacks.
     :param model_C_dic: constraint-surrogate spec,
         ``{'kernels': 'rbf', 'iterations': 2000}`` default.
+    :param C: optional known per-fidelity constraint-value arrays aligned
+        with ``X`` (used by :meth:`load`); omitted, the constraints are
+        evaluated at the archive points once at construction.
     :param projections: per-lower-fidelity callables mapping top-space
         [n, d] rows to that fidelity's own input space [n, d_f] (e.g.
         ``lambda x: x[:, :2]`` for Park_VD). Required to QUERY lower
@@ -129,7 +132,7 @@ class MF_BO:
                  DoE_sizes=None, X=None, Y=None, d: Optional[int] = None,
                  model_dic: Optional[dict] = None,
                  constraints: Optional[Sequence] = None,
-                 model_C_dic: Optional[dict] = None,
+                 model_C_dic: Optional[dict] = None, C=None,
                  projections: Optional[Sequence] = None,
                  seed: Optional[int] = None, n_bucket: Optional[int] = 8,
                  gamma: float = 0.3, dup_tol: float = 1e-3):
@@ -193,8 +196,17 @@ class MF_BO:
                 raise ValueError(
                     "constraints are not supported with variant-dimension "
                     "('em') fidelity stacks")
-        # per-fidelity constraint archives aligned with X[f] rows
-        self.C = [self._eval_cons(x) for x in self.X] if self.n_con else None
+        # per-fidelity constraint archives aligned with X[f] rows; known
+        # values (``C=`` — e.g. a checkpoint resume) are taken as-is so a
+        # load never re-runs potentially expensive constraint callables
+        # over the whole archive
+        if not self.n_con:
+            self.C = None
+        elif C is not None:
+            self.C = [np.array(c, copy=True).reshape(len(x), -1)
+                      for c, x in zip(C, self.X)]
+        else:
+            self.C = [self._eval_cons(x) for x in self.X]
         # inducing inputs pinned to the DoE: parameter shapes stay stable
         # across infills (see module docstring)
         self._Z0 = [x.copy() for x in X]
@@ -344,7 +356,7 @@ class MF_BO:
             zero_n.append(float((0.0 - c.mean()) / _col_std(c)))
         return model_C, np.asarray(zero_n)
 
-    def _select_fidelity(self, model, x_new, S=100):
+    def _select_fidelity(self, model, x_new, S=100, extra_queries=()):
         """BOCA-style rule: lowest fidelity still informative at x_new
         (posterior std >= gamma * sqrt(cost ratio)), else the highest —
         with a duplicate-escalation guard: the sources are deterministic,
@@ -353,14 +365,20 @@ class MF_BO:
         it. Without the guard a deceptive low-fidelity minimum can sink the
         whole budget into repeats of the same cheap point (observed on the
         Forrester pair: the low function's minimum at x~0.092 is far from
-        the high function's at 0.757)."""
+        the high function's at 0.757). ``extra_queries`` — (row, fidelity)
+        pairs in query coordinates — extends the guard to in-flight
+        pending points and earlier in-batch picks, which are committed
+        queries the archive does not hold yet."""
         from ..models.dgp import moment_matched
 
         def _is_dup(f):
             xq = self._project(x_new, f).reshape(1, -1)
             tol = self.dup_tol * np.sqrt(xq.shape[1])
-            return bool(np.min(np.linalg.norm(
-                self.X[f] - xq, axis=1)) < tol)
+            rows = [self.X[f]] + [np.asarray(r).reshape(1, -1)
+                                  for r, fe in extra_queries if fe == f]
+            return bool(min(
+                float(np.min(np.linalg.norm(block - xq, axis=1)))
+                for block in rows) < tol)
 
         for f in range(self.n_fid - 1):
             if _is_dup(f):
@@ -450,10 +468,15 @@ class MF_BO:
                         [model._X_red[r],
                          jnp.asarray(self._project(x_new, r), dtype=dt)],
                         axis=0)
-            iters = lie_train_iterations or 0
+            # an SVGP posterior only moves through training, so a lie
+            # without a refit would be a posterior NO-OP and the next pick
+            # could re-propose the same point — default to a short phase-3
+            # refit like SO_BO/MO_BO's DGP lies (200 steps); phase 3 is
+            # the only stage that moves q(u), phases 1-2 would refit
+            # kernels against frozen posteriors
+            iters = 200 if lie_train_iterations is None \
+                else lie_train_iterations
             if iters:
-                # phase 3 is the only stage that moves q(u); phases 1-2
-                # would refit kernels against frozen posteriors
                 model.optimize_nat_adam(iterations1=0, iterations2=0,
                                         iterations3=iters, messages=0)
 
@@ -543,7 +566,7 @@ class MF_BO:
     def _propose(self, IC="EI", popsize_DE=300, iterations_DE=400,
                  num_samples=500, batch_size=1, lie="believer",
                  lie_train_iterations=None, constraint_handling="PoF",
-                 threshold=0.1, _continue_batch=False):
+                 threshold=0.1, verbose=False, _continue_batch=False):
         """One acquisition round: fit a fresh surrogate (or, on the
         suggest() continuation path with an unchanged archive, reuse the
         in-progress batch state), condition on all outstanding pending
@@ -570,6 +593,13 @@ class MF_BO:
             self._lie_at(st, self.pending_X[i:i + 1],
                          int(self.pending_f[i]), lie, lie_train_iterations)
         self._n_lied = len(self.pending_X)
+        # committed queries the archive does not hold yet: the duplicate-
+        # escalation guard must see them or a deterministic source gets
+        # double-queried at an in-flight/in-batch point
+        extras = [(self._project(self.pending_X[i:i + 1],
+                                 int(self.pending_f[i])),
+                   int(self.pending_f[i]))
+                  for i in range(len(self.pending_X))]
 
         picks_x, picks_f = [], []
         for bq in range(batch_size):
@@ -596,9 +626,11 @@ class MF_BO:
                     iterations_DE=iterations_DE, num_samples=num_samples,
                     key=sub)
             x_new = np.clip(np.asarray(x_new).reshape(1, self.d), 0.0, 1.0)
-            f = self._select_fidelity(st["model"], x_new)
+            f = self._select_fidelity(st["model"], x_new,
+                                      extra_queries=extras)
             picks_x.append(x_new)
             picks_f.append(f)
+            extras.append((self._project(x_new, f), f))
             if bq < batch_size - 1:
                 self._lie_at(st, x_new, f, lie, lie_train_iterations)
         return picks_x, picks_f
@@ -671,23 +703,28 @@ class MF_BO:
         return list(self.best_trace)
 
     def _resolve_pending(self, X_obs):
-        """Remove observed rows from the pending registry (nearest match
-        within a tight absolute tolerance; unmatched observations are
-        legitimate external data and leave pending untouched)."""
-        for row in np.asarray(X_obs, dtype=float).reshape(-1, self.d):
-            if not len(self.pending_X):
-                break
-            dist = np.linalg.norm(self.pending_X - row[None], axis=1)
-            k = int(np.argmin(dist))
-            if dist[k] <= 1e-8 * max(1.0, float(np.linalg.norm(row))):
-                self.pending_X = np.delete(self.pending_X, k, axis=0)
-                self.pending_f = np.delete(self.pending_f, k)
+        """Remove observed rows from the pending registry (shared policy,
+        :func:`so_bo.resolve_pending_rows`; the paired fidelity entries
+        follow their rows)."""
+        from .so_bo import resolve_pending_rows
+
+        keep = resolve_pending_rows(self.pending_X, X_obs, self.d)
+        self.pending_X = np.asarray(self.pending_X,
+                                    dtype=float).reshape(-1, self.d)[keep]
+        self.pending_f = np.asarray(self.pending_f, dtype=int)[keep]
 
     @property
     def x_best(self):
-        """Best observed highest-fidelity input."""
-        i = int(np.argmin(self.Y[-1]))
-        return self.X[-1][i]
+        """Best observed highest-fidelity input — the best FEASIBLE one
+        for constrained problems (matching ``best_trace``); falls back to
+        the unconstrained argmin while no top-fidelity point is feasible."""
+        y = np.asarray(self.Y[-1]).reshape(-1)
+        if self.n_con:
+            feas = self.C[-1].max(axis=1) <= 0
+            if feas.any():
+                idx = np.flatnonzero(feas)
+                return self.X[-1][idx[int(np.argmin(y[feas]))]]
+        return self.X[-1][int(np.argmin(y))]
 
     # -- checkpoint / resume -----------------------------------------------------
     def save(self, path: str):
@@ -751,16 +788,16 @@ class MF_BO:
                  model_dic=model_dic,
                  constraints=constraints,
                  model_C_dic=model_C_dic,
+                 # archived constraint values travel with the checkpoint so
+                 # the constructor never re-evaluates the callables
+                 C=([data[f"C{f}"] for f in range(n_fid)]
+                    if constraints and f"C{0}" in data.files else None),
                  projections=projections,
                  seed=None if seed == -1 else seed,
                  n_bucket=int(data["n_bucket"]) or None,
                  gamma=float(data["gamma"]),
                  dup_tol=(float(data["dup_tol"])
                           if "dup_tol" in data.files else 1e-3))
-        if constraints and f"C{0}" in data.files:
-            # the archived constraint values, not fresh re-evaluations
-            bo.C = [np.asarray(data[f"C{f}"], dtype=float)
-                    for f in range(n_fid)]
         bo._Z0 = [np.asarray(data[f"Z{f}"]) for f in range(n_fid)]
         bo._run_key = jax.numpy.asarray(data["run_key"])
         bo._iteration = int(data["iteration"])

@@ -472,7 +472,7 @@ class MO_BO:
     def _propose(self, batch_size=1, approximation="None", S=1000,
                  method="DE", popsize_DE=300, iterations_DE=400,
                  iterations_adam=1000, lie_train_iterations=None,
-                 _continue_batch=False):
+                 verbose=False, _continue_batch=False):
         """One acquisition round: train a fresh surrogate on the current
         archive, maximize EHVI ``batch_size`` times with believer
         conditioning + fantasy-front updates between picks, and return the
@@ -600,16 +600,13 @@ class MO_BO:
         return list(self.hv_trace)
 
     def _resolve_pending(self, X_obs):
-        """Remove observed rows from the pending registry (nearest match
-        within a tight absolute tolerance; unmatched observations are
-        legitimate external data and leave pending untouched)."""
-        for row in np.asarray(X_obs, dtype=float).reshape(-1, self.d):
-            if not len(self.pending):
-                break
-            dist = np.linalg.norm(self.pending - row[None], axis=1)
-            k = int(np.argmin(dist))
-            if dist[k] <= 1e-8 * max(1.0, float(np.linalg.norm(row))):
-                self.pending = np.delete(self.pending, k, axis=0)
+        """Remove observed rows from the pending registry (shared policy,
+        :func:`so_bo.resolve_pending_rows`)."""
+        from .so_bo import resolve_pending_rows
+
+        keep = resolve_pending_rows(self.pending, X_obs, self.d)
+        self.pending = np.asarray(self.pending,
+                                  dtype=float).reshape(-1, self.d)[keep]
 
     def _archive_changed(self):
         """The archive (and its normalization) changed: any in-progress

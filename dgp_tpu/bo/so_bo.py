@@ -129,6 +129,26 @@ def make_single_model(dic, X, Y, n_bucket=None, seed=None):
                num_samples=num_samples, n_bucket=n_bucket)
 
 
+def resolve_pending_rows(pending, X_obs, d):
+    """Shared pending-registry reconciliation for the three BO drivers:
+    indices of ``pending`` rows NOT matched by any observed row. Each
+    observed row removes at most its nearest pending row, and only within
+    a tight absolute tolerance (1e-8, relative to the row norm) —
+    unmatched observations are legitimate external data and leave pending
+    untouched. One implementation so the matching policy cannot drift
+    between drivers."""
+    pending = np.asarray(pending, dtype=float).reshape(-1, d)
+    keep = list(range(len(pending)))
+    for row in np.asarray(X_obs, dtype=float).reshape(-1, d):
+        if not keep:
+            break
+        dist = np.linalg.norm(pending[keep] - row[None], axis=1)
+        k = int(np.argmin(dist))
+        if dist[k] <= 1e-8 * max(1.0, float(np.linalg.norm(row))):
+            keep.pop(k)
+    return keep
+
+
 def fantasy_mean(model, x_n, S=64):
     """Surrogate posterior mean at x_n [1, d] (normalized coords) — the
     Kriging-Believer lie value for batch infills (shared by SO_BO and
@@ -337,24 +357,21 @@ class SO_BO:
 
         models = [self.model_Y] + (
             list(self.model_C) if self.problem.constraint else [])
+        y_lie_obj = None
+        feasible_lie = True
         for k, model in enumerate(models):
             # constraints always use the believer mean: min/max lies are
             # statements about the OBJECTIVE's optimism, not feasibility
             y_lie = (self._fantasy_mean(model, x) if k > 0
                      else _lie_value(model))
-            if k == 0 and self.IC is not None:
-                # Kriging Believer treats the lie as an observation, so the
-                # in-batch incumbent drops with it (Ginsbourger et al. 2010).
-                # Without this, EI at an already-picked point stays
-                # ~(y_min - mu) > 0 whenever the believed mean undercuts the
-                # real incumbent, and the batch re-picks the same point.
-                # y_min is a traced engine arg (acquisition.py:75), so the
-                # in-place update never recompiles; the REAL Ymin trace and
-                # every fresh _build_IC are untouched.
-                import jax.numpy as jnp
-
-                self.IC.y_min = jnp.minimum(
-                    self.IC.y_min, float(np.min(y_lie)))
+            if k == 0:
+                y_lie_obj = y_lie
+            else:
+                # believer feasibility: the fantasy point counts as
+                # feasible iff every constraint surrogate's mean is
+                # (feasible_0 is the image of 0 under C's normalization)
+                feasible_lie &= bool(
+                    float(np.min(y_lie)) <= float(self.feasible_0[k - 1]))
             Xt = np.vstack([np.asarray(model.data[0]), x])
             Yt = np.vstack([np.asarray(model.data[1]), y_lie])
             model.data = (as_j(Xt), as_j(Yt))
@@ -373,6 +390,22 @@ class SO_BO:
                     # trained posterior 1e-3x per pick.
                     model.optimize_nat_adam(iterations1=iters, iterations2=0,
                                             messages=0, shrink_inner=False)
+
+        if self.IC is not None and feasible_lie:
+            # Kriging Believer treats the lie as an observation, so the
+            # in-batch incumbent drops with it (Ginsbourger et al. 2010).
+            # Without this, EI at an already-picked point stays
+            # ~(y_min - mu) > 0 whenever the believed mean undercuts the
+            # real incumbent, and the batch re-picks the same point.
+            # Gated on believer feasibility for constrained problems: the
+            # incumbent is the best FEASIBLE value, and an infeasible
+            # fantasy must not deflate EI across the feasible region
+            # (MF_BO._lie_at has the same gate). y_min is a traced engine
+            # arg (acquisition.py:75), so the in-place update never
+            # recompiles; the REAL Ymin trace and every fresh _build_IC
+            # are untouched.
+            self.IC.y_min = jnp.minimum(
+                self.IC.y_min, float(np.min(y_lie_obj)))
 
     # -- BO loop --------------------------------------------------------------------
     def run(self, iterations, from_scratch=None, IC="EI",
@@ -611,16 +644,11 @@ class SO_BO:
         self._iteration += 1
 
     def _resolve_pending(self, X_obs):
-        """Remove observed rows from the pending registry (nearest match
-        within a tight absolute tolerance; unmatched observations are
-        legitimate external data and leave pending untouched)."""
-        for row in np.asarray(X_obs, dtype=float).reshape(-1, self.d):
-            if not len(self.pending):
-                break
-            dist = np.linalg.norm(self.pending - row[None], axis=1)
-            k = int(np.argmin(dist))
-            if dist[k] <= 1e-8 * max(1.0, float(np.linalg.norm(row))):
-                self.pending = np.delete(self.pending, k, axis=0)
+        """Remove observed rows from the pending registry (shared policy,
+        :func:`resolve_pending_rows`)."""
+        keep = resolve_pending_rows(self.pending, X_obs, self.d)
+        self.pending = np.asarray(self.pending,
+                                  dtype=float).reshape(-1, self.d)[keep]
 
     def _rebind_data(self):
         import jax.numpy as jnp

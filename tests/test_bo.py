@@ -794,3 +794,41 @@ def test_acquisition_rejects_unknown_surrogate_kind():
 
     with pytest.raises(ValueError, match="unsupported surrogate kind"):
         _model_state(FakeModel())
+
+
+def test_so_bo_run_respects_outstanding_pending():
+    """run() after a dangling suggest(): the fresh proposal conditions on
+    the outstanding believer lie (avoids the in-flight point), evaluates
+    only its own pick, and leaves the pending entry outstanding."""
+    spec = {"num_layers": 0, "kernels": "rbf"}
+    kw = dict(train_iterations=150, popsize_DE=40, popstd_DE=3.0,
+              iterations_DE=60, IC_method="DE")
+    bo = SO_BO(problem=_DoubleWell(), DoE_size=4, model_Y_dic=spec, seed=5)
+    x1 = bo.suggest(batch_size=1, **kw)
+    bo.run(1, verbose=False, **kw)
+    # archive grew by exactly run's one evaluation; suggest's point is
+    # still awaiting its external result
+    assert bo.X.shape == (5, 1)
+    assert bo.pending.shape == (1, 1)
+    np.testing.assert_allclose(bo.pending, x1, atol=1e-12)
+    # run's pick avoided the pending point (the lie moved EI away)
+    assert abs(float(bo.X[-1, 0]) - float(x1[0, 0])) > 0.05
+
+
+def test_so_bo_constrained_lie_gates_incumbent():
+    """An INFEASIBLE believer lie must not drop the in-batch EI incumbent
+    (the incumbent is the best FEASIBLE value); a feasible one does."""
+    problem = _ConstrainedProblem()  # feasible iff x <= 0.25
+    spec = {"num_layers": 0, "kernels": "rbf"}
+    bo = SO_BO(problem=problem, DoE_size=8, model_Y_dic=spec,
+               model_C_dic=spec, seed=3)
+    bo.suggest(batch_size=1, train_iterations=150, popsize_DE=20,
+               iterations_DE=20, IC_method="DE")
+    y0 = float(bo.IC.y_min)
+    # deep in the infeasible region: objective mean is low there (min at
+    # x=0.5) so an ungated update would drop y_min
+    bo._apply_lie(bo._normalize_x(np.asarray([[0.5]])), "believer", None)
+    assert float(bo.IC.y_min) == pytest.approx(y0)
+    # feasible region lie: the gate lets the believed value through
+    bo._apply_lie(bo._normalize_x(np.asarray([[0.2]])), "believer", None)
+    assert float(bo.IC.y_min) <= y0 + 1e-12

@@ -437,3 +437,76 @@ def test_mf_bo_em_validation():
               model_dic={"type": "em"},
               constraints=[lambda x: -np.ones(len(x))],
               projections=[lambda x: np.asarray(x)[:, :2]], seed=0)
+
+
+# -- round-5 review fixes ----------------------------------------------------------
+
+def test_mf_bo_x_best_is_feasible():
+    """x_best must match best_trace's convention: the best FEASIBLE
+    top-fidelity input, not the unconstrained argmin."""
+    X = [np.asarray([[0.1], [0.4], [0.6], [0.9]]),
+         np.asarray([[0.2], [0.5], [0.8]])]
+    Y = [forrester_low(x) for x in X[:1]] + [forrester_high(X[1])]
+    Y = [forrester_low(X[0]), np.asarray([[3.0], [-1.0], [2.0]])]
+    bo = MF_BO(fidelities=[forrester_low, forrester_high], X=X, Y=Y,
+               constraints=[_ring_con], seed=0)
+    # constraint: feasible iff x >= 0.55 -> rows 0.2, 0.5 infeasible; the
+    # unconstrained argmin (y=-1 at x=0.5) is infeasible, so x_best is the
+    # best feasible row (x=0.8, y=2.0) and best_trace agrees
+    assert float(bo.x_best[0]) == pytest.approx(0.8)
+    assert bo.best_trace[0] == pytest.approx(2.0)
+
+
+def test_mf_bo_dup_guard_sees_pending():
+    """The duplicate-escalation guard must treat in-flight pending points
+    as committed queries: a proposal within dup_tol of a pending low-fid
+    query escalates even though the archive does not hold it yet."""
+    spec = {"type": "ar1", "n_starts": 2, "iterations": 80}
+    bo = MF_BO(fidelities=[forrester_low, forrester_high], DoE_sizes=(6, 3),
+               d=1, model_dic=spec, seed=5, gamma=0.0)
+    Ys_n, _, _ = bo._normalized_Y()
+    m = bo.make_model(Ys_n, seed=0)
+    m.optimize(n_starts=2, iterations=50, seed=0)
+    # a fresh point at gamma=0 picks fidelity 0...
+    xs = np.sort(bo.X[0].ravel())
+    gaps = np.diff(xs)
+    x_fresh = np.array([[xs[int(np.argmax(gaps))] + gaps.max() / 2.0]])
+    assert bo._select_fidelity(m, x_fresh) == 0
+    # ...but with the same point pending at fidelity 0, it escalates
+    extras = [(x_fresh, 0)]
+    assert bo._select_fidelity(m, x_fresh + 1e-5, extra_queries=extras) == 1
+
+
+def test_mf_bo_constrained_load_never_reevaluates(tmp_path):
+    """load() of a constrained checkpoint must take the archived constraint
+    values instead of re-running the (potentially expensive) callables
+    over the whole archive."""
+    calls = {"n": 0}
+
+    def counting_con(x):
+        calls["n"] += 1
+        return _ring_con(x)
+
+    bo = MF_BO(fidelities=[forrester_low, forrester_high], DoE_sizes=(6, 3),
+               d=1, model_dic={"type": "ar1", "n_starts": 2,
+                               "iterations": 60},
+               constraints=[counting_con], seed=2)
+    n_init = calls["n"]
+    assert n_init > 0
+    path = str(tmp_path / "mf_con2.npz")
+    bo.save(path)
+    bo2 = MF_BO.load(path, [forrester_low, forrester_high],
+                     constraints=[counting_con])
+    assert calls["n"] == n_init  # zero constraint calls during load
+    assert all(np.allclose(a, b) for a, b in zip(bo2.C, bo.C))
+
+
+def test_mf_bo_suggest_accepts_run_kwargs():
+    """suggest() advertises run()'s keyword arguments; verbose= must not
+    raise (MO_BO shares the fix)."""
+    spec = {"type": "ar1", "n_starts": 2, "iterations": 60}
+    bo = MF_BO(fidelities=[forrester_low, forrester_high], DoE_sizes=(6, 3),
+               d=1, model_dic=spec, seed=3)
+    x, f = bo.suggest(popsize_DE=10, iterations_DE=8, num_samples=8,
+                      verbose=False)
+    assert x.shape == (1, 1) and f in (0, 1)
