@@ -48,9 +48,11 @@ CONFIGS = {
     "indep_dgp": {"type": "independent", "num_layers": 1, "num_units": 1,
                   "kernels": "rbf", "num_samples": 5,
                   "schedule": (500, 1000, 0)},
-    # the old implicit DGP-pair default (the coupled surrogate's fast
-    # schedule, never measured for pairs before round 5) — kept as a column
-    # so the shipped (500, 1000) default is justified by a measured delta
+    # the SHIPPED DGP-pair schedule default (mo_bo._fresh_batch_state:
+    # (100, 0, 0)), measured in round 5: neither it nor indep_dgp's
+    # (500, 1000) dominates on the seed-chaotic tiny-n landscape (fast
+    # wins 5/9 cells incl. both kursawe jackpots at ~3x less wall), so
+    # the cheap default stands
     "indep_dgp_fast": {"type": "independent", "num_layers": 1,
                        "num_units": 1, "kernels": "rbf", "num_samples": 5,
                        "schedule": (100, 0, 0)},

@@ -154,6 +154,11 @@ class MF_BO:
         self.model_C_dic = dict(model_C_dic
                                 or {"kernels": "rbf", "iterations": 2000})
         self.projections = list(projections) if projections else None
+        if (self.projections is not None
+                and len(self.projections) != self.n_fid - 1):
+            raise ValueError(
+                f"projections must have one entry per lower fidelity "
+                f"({self.n_fid - 1}), got {len(self.projections)}")
         self.gamma = float(gamma)
         self.dup_tol = float(dup_tol)
         self.n_bucket = n_bucket
@@ -339,7 +344,7 @@ class MF_BO:
         normalized space. (None, None) for unconstrained problems."""
         if not self.n_con:
             return None, None
-        from .so_bo import _safe_std, make_single_model, normalize
+        from .so_bo import make_single_model, normalize
 
         X_all = np.vstack(self.X)
         model_C, zero_n = [], []
@@ -470,15 +475,24 @@ class MF_BO:
                         axis=0)
             # an SVGP posterior only moves through training, so a lie
             # without a refit would be a posterior NO-OP and the next pick
-            # could re-propose the same point — default to a short phase-3
-            # refit like SO_BO/MO_BO's DGP lies (200 steps); phase 3 is
-            # the only stage that moves q(u), phases 1-2 would refit
-            # kernels against frozen posteriors
+            # could re-propose the same point — default to a short WARM
+            # Adam refit like SO_BO/MO_BO's DGP lies (200 steps). The
+            # staged trainers cannot be used here: optimize_nat_adam
+            # unconditionally runs _init_variational first (q_mu <- Y,
+            # q_sqrt *= 1e-2*var, likelihood reset), which would wreck the
+            # trained posterior mid-batch — so run training.adam_run
+            # directly on the current params (the loo_probe._warm_refit
+            # pattern).
             iters = 200 if lie_train_iterations is None \
                 else lie_train_iterations
             if iters:
-                model.optimize_nat_adam(iterations1=0, iterations2=0,
-                                        iterations3=iters, messages=0)
+                from ..models import training as training_mod
+
+                loss_fn, batch = model._loss_spec()
+                mask = training_mod.make_mask(model.params)
+                model.params, _ = training_mod.adam_run(
+                    loss_fn, model.params, mask, model._next_key(),
+                    steps=iters, lr=0.01, messages=0, data=batch)
 
         feasible_lie = True
         if st["model_C"]:
@@ -576,18 +590,18 @@ class MF_BO:
         the archives."""
         from .acquisition import EV, PoF
 
+        if IC not in ("EI", "WB2", "WB2S"):
+            raise ValueError(f"unknown IC {IC!r}")
+        # switching the criterion mid-batch voids the continuation (the
+        # believer-incumbent drops of already-conditioned lies live only
+        # in the old IC object): the fresh path re-applies every pending
+        # lie under the new criterion
         cont = (_continue_batch and self._batch_open
-                and len(self.pending_X) > 0 and self._bstate is not None)
+                and len(self.pending_X) > 0 and self._bstate is not None
+                and type(self._bstate["ic"]).__name__ == IC)
         if not cont:
             self._bstate = self._fresh_batch_state(IC)
             self._n_lied = 0
-        elif type(self._bstate["ic"]).__name__ != IC:
-            # continuation normally reuses the in-progress IC (same
-            # incumbent); rebuild only if the caller switched criterion
-            # mid-batch — and still reject unknown names
-            self._bstate["ic"] = self._build_ic(
-                IC, self._bstate["mu"], self._bstate["sd"],
-                self._bstate["model"])
         st = self._bstate
         for i in range(self._n_lied, len(self.pending_X)):
             self._lie_at(st, self.pending_X[i:i + 1],
@@ -697,21 +711,33 @@ class MF_BO:
             self.cost_spent += self.costs[f]
             self.best_trace.append(self._best_feasible())
             self.cost_trace.append(self.cost_spent)
-        self._resolve_pending(x_new)
+        self._resolve_pending(x_new, fids)
         self._archive_changed()
         self._iteration += 1
         return list(self.best_trace)
 
-    def _resolve_pending(self, X_obs):
-        """Remove observed rows from the pending registry (shared policy,
-        :func:`so_bo.resolve_pending_rows`; the paired fidelity entries
-        follow their rows)."""
-        from .so_bo import resolve_pending_rows
+    def _resolve_pending(self, X_obs, fids):
+        """Remove observed (row, fidelity) pairs from the pending registry
+        (matching policy shared with the other drivers,
+        :func:`so_bo.match_pending_row`, restricted to entries of the SAME
+        fidelity — the same top-space x can legitimately be pending at two
+        fidelities, and an observation must pop its own)."""
+        from .so_bo import match_pending_row
 
-        keep = resolve_pending_rows(self.pending_X, X_obs, self.d)
-        self.pending_X = np.asarray(self.pending_X,
-                                    dtype=float).reshape(-1, self.d)[keep]
-        self.pending_f = np.asarray(self.pending_f, dtype=int)[keep]
+        pending_X = np.asarray(self.pending_X,
+                               dtype=float).reshape(-1, self.d)
+        pending_f = np.asarray(self.pending_f, dtype=int)
+        keep_mask = np.ones(len(pending_X), dtype=bool)
+        for row, f in zip(np.asarray(X_obs, dtype=float).reshape(-1, self.d),
+                          fids):
+            cand = np.flatnonzero(keep_mask & (pending_f == int(f)))
+            if not len(cand):
+                continue
+            k = match_pending_row(pending_X[cand], row)
+            if k is not None:
+                keep_mask[cand[k]] = False
+        self.pending_X = pending_X[keep_mask]
+        self.pending_f = pending_f[keep_mask]
 
     @property
     def x_best(self):

@@ -129,22 +129,34 @@ def make_single_model(dic, X, Y, n_bucket=None, seed=None):
                num_samples=num_samples, n_bucket=n_bucket)
 
 
+def match_pending_row(pending_rows, row):
+    """Shared pending-registry matching policy for the three BO drivers:
+    index of the nearest row of ``pending_rows`` within the tolerance
+    (1e-8, relative to the observed row's norm), or None. One
+    implementation so the policy cannot drift between drivers."""
+    pending_rows = np.asarray(pending_rows, dtype=float)
+    if not len(pending_rows):
+        return None
+    row = np.asarray(row, dtype=float).reshape(-1)
+    dist = np.linalg.norm(pending_rows - row[None], axis=1)
+    k = int(np.argmin(dist))
+    if dist[k] <= 1e-8 * max(1.0, float(np.linalg.norm(row))):
+        return k
+    return None
+
+
 def resolve_pending_rows(pending, X_obs, d):
-    """Shared pending-registry reconciliation for the three BO drivers:
-    indices of ``pending`` rows NOT matched by any observed row. Each
-    observed row removes at most its nearest pending row, and only within
-    a tight absolute tolerance (1e-8, relative to the row norm) —
-    unmatched observations are legitimate external data and leave pending
-    untouched. One implementation so the matching policy cannot drift
-    between drivers."""
+    """Indices of ``pending`` rows NOT matched by any observed row. Each
+    observed row removes at most its nearest pending row (policy:
+    :func:`match_pending_row`) — unmatched observations are legitimate
+    external data and leave pending untouched."""
     pending = np.asarray(pending, dtype=float).reshape(-1, d)
     keep = list(range(len(pending)))
     for row in np.asarray(X_obs, dtype=float).reshape(-1, d):
         if not keep:
             break
-        dist = np.linalg.norm(pending[keep] - row[None], axis=1)
-        k = int(np.argmin(dist))
-        if dist[k] <= 1e-8 * max(1.0, float(np.linalg.norm(row))):
+        k = match_pending_row(pending[keep], row)
+        if k is not None:
             keep.pop(k)
     return keep
 
@@ -503,8 +515,18 @@ class SO_BO:
         j = self._iteration
         if verbose:
             print(f"adding the most promising data point in iteration {j}")
+        if IC not in ("EI", "WB2", "WB2S"):
+            raise ValueError(f"unknown IC {IC!r}")
         bounds = (self.lw_n, self.up_n)
-        cont = _continue_batch and self._batch_open and len(self.pending) > 0
+        # switching the criterion mid-batch voids the continuation: a
+        # rebuilt IC starts from the REAL incumbent, and the believer
+        # drops of already-conditioned lies exist only in the old IC
+        # object — the fresh path re-applies every pending lie (data rows
+        # AND incumbent) under the new criterion
+        cont = (_continue_batch and self._batch_open
+                and len(self.pending) > 0
+                and self.IC is not None
+                and type(self.IC).__name__ == IC)
         if not cont:
             # from_scratch None or 0 = never rebuild (0 would divide by zero)
             rebuild = bool(from_scratch) and j != 0 and j % from_scratch == 0
@@ -534,11 +556,6 @@ class SO_BO:
             # fresh surrogates: none of the pending rows condition them yet
             self._pending_n = [self._normalize_x(p) for p in self.pending]
             self._n_lied = 0
-        elif self.IC is None or type(self.IC).__name__ != IC:
-            # continuation normally reuses the in-progress IC (same
-            # incumbent — the archive is unchanged); rebuild only if the
-            # caller switched criterion mid-batch
-            self._build_IC(IC, bounds)
 
         # condition on pending rows the current surrogates have not seen
         for i in range(self._n_lied, len(self._pending_n)):

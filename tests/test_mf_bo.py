@@ -510,3 +510,45 @@ def test_mf_bo_suggest_accepts_run_kwargs():
     x, f = bo.suggest(popsize_DE=10, iterations_DE=8, num_samples=8,
                       verbose=False)
     assert x.shape == (1, 1) and f in (0, 1)
+
+
+def test_mf_bo_variational_lie_preserves_posterior():
+    """Round-5 review fix: the believer-lie refit on variational (mf_dgp/
+    em) surrogates must WARM-refit — the staged optimize_nat_adam would
+    first re-init q (q_mu<-Y, q_sqrt *= 1e-2*var, likelihood reset) and
+    wreck the trained posterior mid-batch. The lie must leave the trained
+    q_sqrt scale intact (the old path collapsed it ~100x)."""
+    import jax.numpy as jnp
+
+    bo = MF_BO(fidelities=[forrester_low, forrester_high], DoE_sizes=(6, 3),
+               d=1, model_dic={"num_samples": 3, "schedule": (20, 10, 10)},
+               seed=0)
+    st = bo._fresh_batch_state("EI")
+    n0 = float(jnp.linalg.norm(st["model"].params.layers[0].q_sqrt))
+    bo._lie_at(st, np.asarray([[0.4]]), 1, "believer",
+               lie_train_iterations=2)
+    n1 = float(jnp.linalg.norm(st["model"].params.layers[0].q_sqrt))
+    assert n1 > 0.5 * n0, (n0, n1)
+    # and the lie row actually landed in the surrogate data
+    assert st["model"]._X[1].shape[0] == len(bo.X[1]) + 1
+
+
+def test_mf_bo_resolve_pending_is_fidelity_aware():
+    """The same top-space x can be pending at two fidelities; an
+    observation pops only its own (row, fidelity) entry."""
+    spec = {"type": "ar1", "n_starts": 2, "iterations": 40}
+    bo = MF_BO(fidelities=[forrester_low, forrester_high], DoE_sizes=(6, 3),
+               d=1, model_dic=spec, seed=0)
+    bo.pending_X = np.asarray([[0.5], [0.5]])
+    bo.pending_f = np.asarray([0, 1])
+    bo.observe(np.asarray([[0.5]]), np.asarray([[1.0]]), 1)
+    assert bo.pending_X.shape == (1, 1)
+    assert list(bo.pending_f) == [0]
+
+
+def test_mf_bo_projections_length_validated():
+    with pytest.raises(ValueError, match="projections"):
+        MF_BO(fidelities=[forrester_low, forrester_low, forrester_high],
+              DoE_sizes=(6, 4, 3), d=1,
+              model_dic={"type": "ar1", "n_starts": 2, "iterations": 40},
+              projections=[lambda x: x], seed=0)
