@@ -32,6 +32,7 @@ def __getattr__(name):
             "dgp_tpu.models.mf_dgp_em", "MultiFidelityDeepGP_EM"),
         "MultiObjDeepGP": ("dgp_tpu.models.mo_dgp", "MultiObjDeepGP"),
         "AR1CoKriging": ("dgp_tpu.models.cokriging", "AR1CoKriging"),
+        "NARGP": ("dgp_tpu.models.nargp", "NARGP"),
         "SO_BO": ("dgp_tpu.bo.so_bo", "SO_BO"),
         "MO_BO": ("dgp_tpu.bo.mo_bo", "MO_BO"),
         "MF_BO": ("dgp_tpu.bo.mf_bo", "MF_BO"),
