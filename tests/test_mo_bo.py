@@ -472,3 +472,24 @@ def test_mo_bo_pending_roundtrips_save_load():
         assert bo2.pending.shape == (0, 1)
     finally:
         os.remove(path)
+
+
+def test_mo_bo_pending_constrained_problem():
+    """Pending registry on a CONSTRAINED MO problem: believer constraint
+    rows join the fantasy feasibility column, consecutive suggests spread,
+    and observe() with constraint values resolves the entries."""
+    problem = get("bnh")
+    kw = dict(S=40, popsize_DE=15, iterations_DE=15)
+    bo = MO_BO(problem=problem, DoE_size=10, seed=1)
+    x1 = bo.suggest(batch_size=1, **kw)
+    x2 = bo.suggest(batch_size=1, **kw)
+    assert bo.pending.shape == (2, 2)
+    # the fantasy feasibility column grew with the believer rows
+    assert len(bo._bstate["C_fant"]) == len(bo.C) + 1
+    X_obs = np.vstack([x1, x2])
+    F_obs = [np.asarray([np.reshape(problem.fun(x)[i], ()) for x in X_obs])
+             for i in (0, 1)]
+    C_obs = np.asarray([problem.con(x) for x in X_obs], dtype=float)
+    bo.observe(X_obs, F_obs, C_obs)
+    assert bo.pending.shape == (0, 2)
+    assert len(bo.X) == 12
